@@ -1,0 +1,244 @@
+"""Inference samplers (DDIM, UniPC) compiled as a single ``lax.scan``.
+
+The reference denoises with a python-driven per-step loop over diffusers
+schedulers (``magicdrive/pipeline/pipeline_bev_controlnet.py:378-499``,
+UniPC-20 selected at ``magicdrive/runner/base_validator.py:81-83``).  Here the
+whole denoising loop — CFG included via the caller's ``model_fn`` closure —
+compiles to one XLA program with zero host round-trips.
+
+``model_fn(x, t) -> eps`` where ``t`` is a scalar int32 timestep.  Everything
+about conditioning / CFG / classifier-free batching lives inside ``model_fn``.
+
+Numerics follow the standard DDIM (Song et al.) and UniPC (Zhao et al.,
+bh2 / data-prediction / order 2 with corrector) formulations with
+"leading" (DDIM) / "linspace" (UniPC) timestep spacing so outputs are
+step-for-step comparable with the reference pipeline.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .schedule import DiffusionSchedule
+
+__all__ = ["ddim_timesteps", "ddim_sample", "unipc_timesteps", "unipc_sample"]
+
+ModelFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
+
+
+def ddim_timesteps(
+    num_inference_steps: int,
+    num_train_timesteps: int = 1000,
+    steps_offset: int = 1,
+) -> np.ndarray:
+    """'leading' spacing used by the SD v1.5 DDIM config."""
+    step_ratio = num_train_timesteps // num_inference_steps
+    ts = (np.arange(num_inference_steps) * step_ratio).round()[::-1].astype(np.int64)
+    ts = ts + steps_offset
+    return np.clip(ts, 0, num_train_timesteps - 1)
+
+
+def ddim_sample(
+    schedule: DiffusionSchedule,
+    model_fn: ModelFn,
+    latents: jnp.ndarray,
+    num_inference_steps: int = 20,
+    eta: float = 0.0,
+    rng: jax.Array | None = None,
+) -> jnp.ndarray:
+    """Deterministic (eta=0) / stochastic DDIM as one lax.scan."""
+    ts = ddim_timesteps(num_inference_steps, schedule.num_train_timesteps)
+    step_ratio = schedule.num_train_timesteps // num_inference_steps
+    ac = schedule.alphas_cumprod
+    a_t = ac[ts]
+    prev_idx = ts - step_ratio
+    a_prev = np.where(prev_idx >= 0, np.asarray(ac)[np.maximum(prev_idx, 0)], 1.0)
+
+    xs = {
+        "t": jnp.asarray(ts, jnp.int32),
+        "a_t": jnp.asarray(a_t, jnp.float32),
+        "a_prev": jnp.asarray(a_prev, jnp.float32),
+        "key": (
+            jax.random.split(rng, num_inference_steps)
+            if rng is not None
+            else jnp.zeros((num_inference_steps, 2), jnp.uint32)
+        ),
+    }
+
+    def body(x, step):
+        t, at, aprev = step["t"], step["a_t"], step["a_prev"]
+        eps = model_fn(x, t).astype(jnp.float32)
+        x = x.astype(jnp.float32)
+        x0 = (x - jnp.sqrt(1.0 - at) * eps) / jnp.sqrt(at)
+        if eta > 0.0:
+            sigma = (
+                eta
+                * jnp.sqrt((1.0 - aprev) / (1.0 - at))
+                * jnp.sqrt(1.0 - at / aprev)
+            )
+            noise = jax.random.normal(step["key"], x.shape, jnp.float32)
+            dir_xt = jnp.sqrt(1.0 - aprev - sigma**2) * eps
+            x_prev = jnp.sqrt(aprev) * x0 + dir_xt + sigma * noise
+        else:
+            x_prev = jnp.sqrt(aprev) * x0 + jnp.sqrt(1.0 - aprev) * eps
+        return x_prev, None
+
+    final, _ = jax.lax.scan(body, latents.astype(jnp.float32), xs)
+    return final
+
+
+def unipc_timesteps(
+    num_inference_steps: int, num_train_timesteps: int = 1000
+) -> np.ndarray:
+    """'linspace' spacing (diffusers UniPCMultistepScheduler default)."""
+    ts = (
+        np.linspace(0, num_train_timesteps - 1, num_inference_steps + 1)
+        .round()[::-1][:-1]
+        .astype(np.int64)
+    )
+    return ts
+
+
+def unipc_sample(
+    schedule: DiffusionSchedule,
+    model_fn: ModelFn,
+    latents: jnp.ndarray,
+    num_inference_steps: int = 20,
+    order: int = 2,
+) -> jnp.ndarray:
+    """UniPC-p2 (bh2, data prediction, corrector enabled, lower_order_final).
+
+    One model eval per step; corrector reuses the fresh eval to refine the
+    previous predictor output before the next prediction.
+    """
+    assert order == 2, "only order-2 UniPC implemented (the reference default)"
+    n = num_inference_steps
+    ts = unipc_timesteps(n, schedule.num_train_timesteps)
+    ac = np.asarray(schedule.alphas_cumprod, np.float64)
+
+    def lam(t):
+        return 0.5 * (np.log(ac[t]) - np.log1p(-ac[t]))
+
+    def alpha(t):
+        return np.sqrt(ac[t])
+
+    def sigma(t):
+        return np.sqrt(1.0 - ac[t])
+
+    # per-step static tables -------------------------------------------------
+    # corrector at step i corrects the sample at ts[i] predicted during step
+    # i-1: s0 = ts[i-1] -> t = ts[i]; order = this_order of step i-1.
+    # predictor at step i: s0 = ts[i] -> t_next (ts[i+1] or 0-boundary).
+    corr_on = np.zeros(n, np.float32)
+    corr_hist_on = np.zeros(n, np.float32)  # corrector order==2
+    pred_hist_on = np.zeros(n, np.float32)  # predictor order==2
+    this_order = np.zeros(n, np.int64)
+    lower_order_nums = 0
+    for i in range(n):
+        o = min(order, n - i)  # lower_order_final
+        o = min(o, lower_order_nums + 1)
+        this_order[i] = o
+        if i > 0:
+            corr_on[i] = 1.0
+            corr_hist_on[i] = 1.0 if this_order[i - 1] == 2 else 0.0
+        pred_hist_on[i] = 1.0 if o == 2 else 0.0
+        lower_order_nums = min(lower_order_nums + 1, order)
+
+    def phi_coeffs(lam_t, lam_s0):
+        """Returns h_phi_1, B_h, b0, b1 (bh2, predict_x0 => hh = -h)."""
+        h = lam_t - lam_s0
+        hh = -h
+        h_phi_1 = np.expm1(hh)
+        B_h = h_phi_1  # bh2
+        hp1 = h_phi_1 / hh - 1.0
+        b0 = hp1 / B_h
+        hp2 = hp1 / hh - 0.5
+        b1 = hp2 * 2.0 / B_h
+        return h, h_phi_1, B_h, b0, b1
+
+    # corrector tables (s0 = ts[i-1], t = ts[i], s1 = ts[i-2])
+    c = {k: np.zeros(n, np.float64) for k in
+         ("sig_ratio", "alpha_t", "h_phi_1", "B_h", "rho_hist", "rho_t", "rk_inv")}
+    for i in range(1, n):
+        s0, t = ts[i - 1], ts[i]
+        h, h_phi_1, B_h, b0, b1 = phi_coeffs(lam(t), lam(s0))
+        c["sig_ratio"][i] = sigma(t) / sigma(s0)
+        c["alpha_t"][i] = alpha(t)
+        c["h_phi_1"][i] = h_phi_1
+        c["B_h"][i] = B_h
+        if corr_hist_on[i] > 0 and i >= 2:
+            rk = (lam(ts[i - 2]) - lam(s0)) / h
+            rho_hist = (b0 - b1) / (1.0 - rk)
+            c["rho_hist"][i] = rho_hist
+            c["rho_t"][i] = b0 - rho_hist
+            c["rk_inv"][i] = 1.0 / rk
+        else:
+            c["rho_t"][i] = 0.5  # order-1 corrector
+    # predictor tables (s0 = ts[i], t = ts[i+1], s1 = ts[i-1]).  The final
+    # step targets the sigma=0 boundary (diffusers final_sigmas_type="zero"):
+    # in the limit h->inf, x_pred = x0 exactly.
+    p = {k: np.zeros(n, np.float64) for k in
+         ("sig_ratio", "alpha_t", "h_phi_1", "B_h", "rk_inv")}
+    for i in range(n):
+        s0 = ts[i]
+        if i + 1 < n:
+            t = ts[i + 1]
+            h, h_phi_1, B_h, _, _ = phi_coeffs(lam(t), lam(s0))
+            p["sig_ratio"][i] = sigma(t) / sigma(s0)
+            p["alpha_t"][i] = alpha(t)
+            p["h_phi_1"][i] = h_phi_1
+            p["B_h"][i] = B_h
+            if pred_hist_on[i] > 0 and i >= 1:
+                rk = (lam(ts[i - 1]) - lam(s0)) / h
+                p["rk_inv"][i] = 1.0 / rk
+        else:
+            p["sig_ratio"][i] = 0.0
+            p["alpha_t"][i] = 1.0
+            p["h_phi_1"][i] = -1.0
+            p["B_h"][i] = -1.0
+
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+    xs = {
+        "t": jnp.asarray(ts, jnp.int32),
+        "corr_on": f32(corr_on),
+        "corr_hist_on": f32(corr_hist_on),
+        "pred_hist_on": f32(pred_hist_on),
+        "sqrt_ac": f32(np.sqrt(ac[ts])),
+        "sqrt_1mac": f32(np.sqrt(1.0 - ac[ts])),
+        **{f"c_{k}": f32(v) for k, v in c.items()},
+        **{f"p_{k}": f32(v) for k, v in p.items()},
+    }
+
+    zero = jnp.zeros_like(latents, jnp.float32)
+    # carry: x (sample at current ts[i]), last_sample (at ts[i-1]),
+    # m0 (x0-pred at ts[i-1]), m1 (x0-pred at ts[i-2])
+    carry0 = (latents.astype(jnp.float32), zero, zero, zero)
+
+    def body(carry, s):
+        x, last_sample, m0, m1 = carry
+        eps = model_fn(x, s["t"]).astype(jnp.float32)
+        x0 = (x - s["sqrt_1mac"] * eps) / s["sqrt_ac"]  # model_output_convert
+
+        # --- corrector (refine x using fresh eval) -------------------------
+        d1s_c = (m1 - m0) * s["c_rk_inv"]
+        d1_t = x0 - m0
+        x_corr_base = s["c_sig_ratio"] * last_sample - s["c_alpha_t"] * s["c_h_phi_1"] * m0
+        x_corr = x_corr_base - s["c_alpha_t"] * s["c_B_h"] * (
+            s["c_rho_hist"] * d1s_c + s["c_rho_t"] * d1_t
+        )
+        x = jnp.where(s["corr_on"] > 0, x_corr, x)
+
+        # --- predictor ------------------------------------------------------
+        d1s_p = (m0 - x0) * s["p_rk_inv"]  # history vs current m0=x0 here
+        x_pred = s["p_sig_ratio"] * x - s["p_alpha_t"] * s["p_h_phi_1"] * x0
+        x_pred = x_pred - s["p_alpha_t"] * s["p_B_h"] * (
+            s["pred_hist_on"] * 0.5 * d1s_p
+        )
+        return (x_pred, x, x0, m0), None
+
+    (x_final, _, _, _), _ = jax.lax.scan(body, carry0, xs)
+    return x_final

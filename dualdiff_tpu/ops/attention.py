@@ -1,0 +1,153 @@
+"""Attention ops: XLA einsum path + Pallas TPU flash-attention kernel.
+
+TPU-native replacement for the xformers ``memory_efficient_attention`` the
+reference calls in every attention block (reference
+``magicdrive/runner/base_runner.py:192-208``, ``txt_con_fusion.py:156-162``,
+``box_adapter.py:150-156``).  Two paths:
+
+* ``mha_einsum`` — plain jnp, always correct, good for short sequences
+  (cross-attn over <=300 text/box tokens) where XLA's fusion already wins.
+* ``flash_attention`` — Pallas kernel with online softmax; never materializes
+  the (Lq, Lk) score matrix in HBM.  Used for the latent self/cross-view
+  attention at high resolutions.
+
+``multi_head_attention`` dispatches between them on shape and platform.
+All functions take ``q, k, v`` shaped ``(B, L, num_heads, head_dim)``.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["mha_einsum", "flash_attention", "multi_head_attention"]
+
+_NEG_INF = -1e30
+
+
+def mha_einsum(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """(B, Lq, H, Dh) x (B, Lk, H, Dh) -> (B, Lq, H, Dh). fp32 softmax."""
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits * scale, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_k, kv_len):
+    """One (batch*head, q-block) program; loops over K blocks with online
+    softmax.  Refs are (block_q, d) for q/o and (padded_kv, d) for k/v."""
+    q = q_ref[0].astype(jnp.float32) * scale
+    block_q, d = q.shape
+    num_kb = k_ref.shape[1] // block_k
+
+    m0 = jnp.full((block_q, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc0 = jnp.zeros((block_q, d), jnp.float32)
+
+    def body(kb, carry):
+        m, l, acc = carry
+        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
+        # mask out padded kv positions
+        kpos = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(kpos < kv_len, s, _NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = alpha * acc + jnp.dot(p, v_blk, preferred_element_type=jnp.float32)
+        return m_new, l_new, acc_new
+
+    m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+def _pad_to(x: jnp.ndarray, axis: int, mult: int) -> jnp.ndarray:
+    size = x.shape[axis]
+    pad = (-size) % mult
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+    block_q: int = 256,
+    block_k: int = 256,
+) -> jnp.ndarray:
+    """Pallas flash attention.  q,k,v: (B, L, H, Dh) -> (B, Lq, H, Dh)."""
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    b, lq, h, d = q.shape
+    lk = k.shape[1]
+    block_q = min(block_q, max(128, 1 << (lq - 1).bit_length()))
+    block_k = min(block_k, max(128, 1 << (lk - 1).bit_length()))
+
+    # (B,L,H,D) -> (B*H, L, D), pad L to block multiple and D to lane width.
+    def to_bh(x, block):
+        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, x.shape[1], d)
+        x = _pad_to(x, 1, block)
+        x = _pad_to(x, 2, 128)
+        return x
+
+    qb, kb, vb = to_bh(q, block_q), to_bh(k, block_k), to_bh(v, block_k)
+    lq_p, d_p = qb.shape[1], qb.shape[2]
+    lk_p = kb.shape[1]
+
+    grid = (b * h, lq_p // block_q)
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_kernel, scale=scale, block_k=block_k, kv_len=lk
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d_p), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk_p, d_p), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk_p, d_p), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d_p), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, lq_p, d_p), q.dtype),
+        interpret=jax.default_backend() != "tpu",  # CPU tests run interpreted
+    )(qb, kb, vb)
+    out = out[:, :lq, :d].reshape(b, h, lq, d)
+    return jnp.transpose(out, (0, 2, 1, 3))
+
+
+def multi_head_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+    use_flash: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Dispatcher.  (B, L, H, Dh) in/out."""
+    if use_flash is None:
+        on_tpu = jax.default_backend() == "tpu"
+        # flash pays off once the score matrix stops fitting in VMEM
+        use_flash = on_tpu and q.shape[1] >= 1024 and k.shape[1] >= 1024
+    if use_flash:
+        return flash_attention(q, k, v, scale=scale)
+    return mha_einsum(q, k, v, scale=scale)

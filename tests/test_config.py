@@ -1,0 +1,71 @@
+import os
+
+import pytest
+
+from dualdiff_tpu.utils.config import ConfigNode, load_config, merge, to_dict
+
+CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
+
+
+def test_compose_root():
+    cfg = load_config(CONFIG_DIR)
+    assert cfg.model.name == "SDv1.5mv-rawbox"
+    assert cfg.dataset.image_size == [224, 400]
+    assert cfg.runner.train_batch_size == 3
+    assert cfg.use_dual_controlnet is False
+
+
+def test_interpolation_absolute_and_relative():
+    cfg = load_config(CONFIG_DIR)
+    # ${dataset.neighboring_view_pair} absolute
+    assert cfg.model.unet.neighboring_view_pair[0] == [5, 1]
+    # ${..crossview_attn_type} relative (one level up inside model/)
+    assert cfg.model.unet.crossview_attn_type == "basic"
+    # ${...bbox_mode} three levels up
+    assert cfg.model.controlnet.bbox_embedder_param.mode == "all-xyz"
+    # projname interpolates model.name
+    assert cfg.projname == "SDv1.5mv-rawbox"
+
+
+def test_exp_overlay():
+    cfg = load_config(CONFIG_DIR, overrides=["+exp=dual_branch_augloss_fusion"])
+    assert cfg.task_id == "dual_branch_augloss_fusion"
+    assert cfg.use_dual_controlnet is True
+    assert cfg.use_aug_loss is True
+    assert cfg.use_map_vec == [False, True]
+    assert cfg.model.controlnet.use_txt_con_fusion is True
+    assert cfg.runner.learning_rate == 4.0e-5
+    # inherited from 224x400 base overlay
+    assert cfg.runner.num_train_epochs == 350
+
+
+def test_dotted_override_and_group_swap():
+    cfg = load_config(
+        CONFIG_DIR,
+        overrides=["runner=debug", "seed=7", "model.unet.layers_per_block=3"],
+    )
+    assert cfg.runner.max_train_steps == 2
+    assert cfg.seed == 7
+    assert cfg.model.unet.layers_per_block == 3
+
+
+def test_every_exp_overlay_composes():
+    exp_dir = os.path.join(CONFIG_DIR, "exp")
+    for name in sorted(os.listdir(exp_dir)):
+        stem = name[: -len(".yaml")]
+        cfg = load_config(CONFIG_DIR, overrides=[f"+exp={stem}"])
+        assert cfg.task_id, stem
+
+
+def test_merge_semantics():
+    base = ConfigNode({"a": {"b": 1, "c": 2}, "l": [1, 2]})
+    merge(base, {"a": {"b": 9}, "l": [3]})
+    assert to_dict(base) == {"a": {"b": 9, "c": 2}, "l": [3]}
+
+
+def test_missing_interp_raises():
+    cfg = ConfigNode({"x": "${nope.key}"})
+    from dualdiff_tpu.utils.config import _resolve_tree
+
+    with pytest.raises(KeyError):
+        _resolve_tree(cfg, cfg, [])

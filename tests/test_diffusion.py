@@ -1,0 +1,132 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dualdiff_tpu.diffusion.samplers import (
+    ddim_sample,
+    ddim_timesteps,
+    unipc_sample,
+    unipc_timesteps,
+)
+from dualdiff_tpu.diffusion.schedule import DiffusionSchedule
+
+
+@pytest.fixture(scope="module")
+def sched():
+    return DiffusionSchedule.create()
+
+
+def test_schedule_constants(sched):
+    # SD v1.5 scaled_linear constants
+    np.testing.assert_allclose(float(sched.betas[0]), 0.00085, rtol=1e-5)
+    np.testing.assert_allclose(float(sched.betas[-1]), 0.012, rtol=1e-5)
+    assert sched.alphas_cumprod.shape == (1000,)
+    assert float(sched.alphas_cumprod[-1]) < 0.01
+
+
+def test_add_noise_roundtrip(sched):
+    x0 = jnp.ones((2, 3, 4))
+    noise = jnp.zeros_like(x0)
+    t = jnp.array([0, 999])
+    noisy = sched.add_noise(x0, noise, t)
+    ac = np.asarray(sched.alphas_cumprod)
+    np.testing.assert_allclose(np.asarray(noisy[0]), np.sqrt(ac[0]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(noisy[1]), np.sqrt(ac[999]), rtol=1e-5)
+
+
+def test_add_noise_per_view_timesteps(sched):
+    # reference supports t of shape (B, N_cam) (train_with_same_t: false)
+    x0 = jnp.ones((2, 6, 4, 4, 4))
+    noise = jnp.zeros_like(x0)
+    t = jnp.tile(jnp.arange(6)[None] * 100, (2, 1))
+    noisy = sched.add_noise(x0, noise, t)
+    assert noisy.shape == x0.shape
+    ac = np.asarray(sched.alphas_cumprod)
+    np.testing.assert_allclose(
+        np.asarray(noisy[0, 3, 0, 0, 0]), np.sqrt(ac[300]), rtol=1e-5
+    )
+
+
+def test_velocity_matches_definition(sched):
+    x0 = jnp.full((1, 2), 0.3)
+    noise = jnp.full((1, 2), -0.7)
+    t = jnp.array([500])
+    v = sched.velocity(x0, noise, t)
+    ac = float(sched.alphas_cumprod[500])
+    expect = np.sqrt(ac) * -0.7 - np.sqrt(1 - ac) * 0.3
+    np.testing.assert_allclose(np.asarray(v), expect, rtol=1e-5)
+
+
+def test_ddim_timestep_spacing():
+    ts = ddim_timesteps(20)
+    assert len(ts) == 20
+    assert ts[0] == 951 and ts[-1] == 1  # leading spacing + steps_offset=1
+    ts_u = unipc_timesteps(20)
+    assert ts_u[0] == 999 and len(ts_u) == 20
+
+
+def _exact_eps_model(x0_true, sched):
+    """For a point-mass data distribution the true eps at any (x_t, t) is
+    (x_t - sqrt(ac_t) x0) / sqrt(1 - ac_t)."""
+    ac = sched.alphas_cumprod
+
+    def model_fn(x, t):
+        a = jnp.sqrt(ac[t])
+        s = jnp.sqrt(1.0 - ac[t])
+        return (x - a * x0_true) / s
+
+    return model_fn
+
+
+def test_ddim_recovers_point_mass(sched, rng):
+    x0_true = jnp.array([[0.5, -1.2, 2.0, 0.0]])
+    model_fn = _exact_eps_model(x0_true, sched)
+    xT = jax.random.normal(rng, x0_true.shape)
+    out = ddim_sample(sched, model_fn, xT, num_inference_steps=20)
+    # exact eps => DDIM trajectory lands on x0 scaled by final alpha step
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x0_true), atol=0.05)
+
+
+def test_unipc_recovers_point_mass(sched, rng):
+    x0_true = jnp.array([[0.5, -1.2, 2.0, 0.0]])
+    model_fn = _exact_eps_model(x0_true, sched)
+    xT = jax.random.normal(rng, x0_true.shape)
+    out = unipc_sample(sched, model_fn, xT, num_inference_steps=20)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x0_true), atol=0.05)
+
+
+def test_unipc_beats_ddim_on_ou_process(sched, rng):
+    """Gaussian data: x0 ~ N(mu, s^2 I) has analytic eps-predictor; a
+    higher-order solver should track the probability-flow ODE better at few
+    steps.  Checks UniPC error < DDIM error against a 200-step reference."""
+    mu, s2 = 1.5, 0.25
+    ac = sched.alphas_cumprod
+
+    def model_fn(x, t):
+        a, v = jnp.sqrt(ac[t]), 1.0 - ac[t]
+        # posterior-mean eps for gaussian prior
+        denom = ac[t] * s2 + v
+        x0_hat = (jnp.sqrt(ac[t]) * s2 * x + v * mu) / denom
+        return (x - a * x0_hat) / jnp.sqrt(v)
+
+    xT = jax.random.normal(rng, (4, 8))
+    ref = ddim_sample(sched, model_fn, xT, num_inference_steps=200)
+    ddim10 = ddim_sample(sched, model_fn, xT, num_inference_steps=10)
+    unipc10 = unipc_sample(sched, model_fn, xT, num_inference_steps=10)
+    err_ddim = float(jnp.mean((ddim10 - ref) ** 2))
+    err_unipc = float(jnp.mean((unipc10 - ref) ** 2))
+    assert err_unipc < err_ddim
+
+
+def test_samplers_jit_compatible(sched, rng):
+    x0_true = jnp.zeros((1, 4))
+    model_fn = _exact_eps_model(x0_true, sched)
+    xT = jax.random.normal(rng, (1, 4))
+
+    @jax.jit
+    def run(x):
+        return unipc_sample(sched, model_fn, x, num_inference_steps=5)
+
+    out = run(xT)
+    assert out.shape == xT.shape

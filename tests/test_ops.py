@@ -1,0 +1,75 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dualdiff_tpu.ops.attention import flash_attention, mha_einsum, multi_head_attention
+from dualdiff_tpu.ops.fourier import fourier_embed, fourier_out_dim, timestep_embedding
+
+
+def test_fourier_layout_matches_reference():
+    # reference embedder.py: [x, sin(1x), cos(1x), sin(2x), cos(2x), ...]
+    x = jnp.array([[0.5, -1.0, 2.0]])
+    out = fourier_embed(x, num_freqs=4)
+    assert out.shape == (1, 27)
+    np.testing.assert_allclose(np.asarray(out[0, :3]), [0.5, -1.0, 2.0], rtol=1e-6)
+    np.testing.assert_allclose(float(out[0, 3]), np.sin(0.5), rtol=1e-6)
+    np.testing.assert_allclose(float(out[0, 6]), np.cos(0.5), rtol=1e-6)
+    np.testing.assert_allclose(float(out[0, 9]), np.sin(1.0), rtol=1e-6)  # 2^1 * 0.5
+    assert fourier_out_dim(3, 4) == 27
+
+
+def test_camera_param_embedding_dim():
+    # (B, N_cam, 3, 7) -> per-(b,n,col) fourier over dim-3 -> 27*7 = 189
+    cam = jnp.ones((2, 6, 3, 7))
+    x = jnp.swapaxes(cam, -1, -2)  # embed the 3-vector cols
+    emb = fourier_embed(x, num_freqs=4).reshape(2, 6, -1)
+    assert emb.shape == (2, 6, 189)
+
+
+def test_timestep_embedding_matches_diffusers_semantics():
+    t = jnp.array([0, 500])
+    emb = timestep_embedding(t, 320)
+    assert emb.shape == (2, 320)
+    # t=0: cos part (first half, flip_sin_to_cos) = 1, sin part = 0
+    np.testing.assert_allclose(np.asarray(emb[0, :160]), 1.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(emb[0, 160:]), 0.0, atol=1e-6)
+    # first sin channel at t=500: sin(500)
+    np.testing.assert_allclose(float(emb[1, 160]), np.sin(500.0), rtol=1e-4)
+
+
+def _naive_attention(q, k, v, scale):
+    logits = np.einsum("bqhd,bkhd->bhqk", q, k) * scale
+    logits = logits - logits.max(-1, keepdims=True)
+    p = np.exp(logits)
+    p = p / p.sum(-1, keepdims=True)
+    return np.einsum("bhqk,bkhd->bqhd", p, v)
+
+
+@pytest.mark.parametrize("lq,lk,h,d", [(64, 64, 2, 32), (100, 77, 8, 40)])
+def test_mha_einsum_vs_naive(rng, lq, lk, h, d):
+    k1, k2, k3 = jax.random.split(rng, 3)
+    q = jax.random.normal(k1, (2, lq, h, d), jnp.float32)
+    k = jax.random.normal(k2, (2, lk, h, d), jnp.float32)
+    v = jax.random.normal(k3, (2, lk, h, d), jnp.float32)
+    out = mha_einsum(q, k, v)
+    ref = _naive_attention(np.asarray(q), np.asarray(k), np.asarray(v), d**-0.5)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
+
+
+@pytest.mark.parametrize("lq,lk,d", [(256, 256, 64), (300, 200, 40), (1400, 1400, 40)])
+def test_flash_attention_matches_einsum(rng, lq, lk, d):
+    k1, k2, k3 = jax.random.split(rng, 3)
+    h = 2
+    q = jax.random.normal(k1, (1, lq, h, d), jnp.float32)
+    k = jax.random.normal(k2, (1, lk, h, d), jnp.float32)
+    v = jax.random.normal(k3, (1, lk, h, d), jnp.float32)
+    ref = mha_einsum(q, k, v)
+    out = flash_attention(q, k, v, block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+
+def test_dispatcher_shapes(rng):
+    q = jax.random.normal(rng, (2, 128, 4, 32))
+    out = multi_head_attention(q, q, q)
+    assert out.shape == q.shape
