@@ -1,0 +1,241 @@
+"""BEV ControlNet branch (the trainable conditioning network).
+
+TPU-native re-design of the reference ``BEVControlNetModel``
+(``magicdrive/networks/unet_addon_rawbox.py:39-1082``): a copy of the SD UNet
+*encoder* (down blocks + mid block) with zero-conv output heads, extended with
+
+* camera Fourier embedding + ``cam2token`` (:115,127,308-325) and a learned
+  unconditional camera embedding (:117-121,327-335),
+* per-token hidden-state assembly ``[cam | text | boxes]`` (:337-361,
+  :1066-1069),
+* training-time condition dropout for CFG (:380-402) — driven here by an
+  explicit ``uncond_switch`` mask sampled in the trainer (jit-friendly),
+* bbox embedding (:852-896), map / occ-image / raw occ-3d conditioning
+  (:964-990) with optional SFA fusion, and
+* residual outputs consumed by the UNet (:1027-1082).
+
+Dual-branch (DualDiff) setups instantiate two of these with different
+conditioning and sum their residuals (reference
+``multiview_runner.py:58-82``); the summation lives in the pipeline/trainer.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from .embedders import (
+    BBoxEmbedder,
+    BEVMapConditionEmbedder,
+    OccImageConditionEmbedder,
+    SFATxtCon,
+    SFATxtConPlus,
+    embed_camera_param,
+)
+from .layers import TimestepEmbedding, get_timestep_embedding
+from .unet import CrossAttnDownBlock2D, DownBlock2D, UNetMidBlock2DCrossAttn
+
+Dtype = Any
+
+
+class BEVControlNet(nn.Module):
+    # UNet-encoder clone config (SD v1.5)
+    in_channels: int = 4
+    block_out_channels: Sequence[int] = (320, 640, 1280, 1280)
+    layers_per_block: int = 2
+    heads: int = 8
+    cross_attention_dim: int = 768
+    # camera
+    camera_in_dim: int = 189
+    camera_out_dim: int = 768
+    uncond_cam_in_dim: Tuple[int, int] = (3, 7)
+    cam_num_freqs: int = 4
+    # conditioning embedder: 'bev_map' | 'occ_image' | 'occ_3d'
+    cond_embedder: str = "bev_map"
+    map_channels: int = 8
+    conditioning_embedding_out_channels: Sequence[int] = (16, 32, 96, 256)
+    n_cam: int = 6
+    # SFA
+    use_txt_con_fusion: bool = False
+    use_txt_con_fusionp: bool = False
+    # bbox embedder
+    bbox_mode: str = "all-xyz"
+    bbox_num_points: Optional[int] = None
+    bbox_n_classes: int = 10
+    bbox_minmax_normalize: bool = False
+    bbox_proj_dims: Sequence[int] = (768, 512, 512, 768)
+    bbox_class_token_dim: int = 768
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        sample: jnp.ndarray,  # (B, N_cam, h, w, 4) noisy latents
+        timesteps: jnp.ndarray,  # (B,) or (B, N_cam)
+        camera_param: jnp.ndarray,  # (B, N_cam, 3, 7)
+        encoder_hidden_states: jnp.ndarray,  # (B, L, 768) or (B, N_cam, L, 768)
+        controlnet_cond: jnp.ndarray,
+        bboxes_3d: Optional[Dict[str, jnp.ndarray]] = None,
+        encoder_hidden_states_uncond: Optional[jnp.ndarray] = None,  # (1, L, 768)
+        uncond_switch: Optional[jnp.ndarray] = None,  # (B, N_cam) 1 -> drop cond
+        conditioning_scale: float = 1.0,
+        guess_mode: bool = False,
+    ):
+        B, N = camera_param.shape[:2]
+        chs = list(self.block_out_channels)
+
+        # --- 0. camera token + hidden-state assembly -----------------------
+        cam2token = nn.Dense(self.camera_out_dim, dtype=self.dtype, name="cam2token")
+        cam_emb = embed_camera_param(camera_param, self.cam_num_freqs)
+        cam_tok = cam2token(cam_emb.astype(self.dtype))  # (B, N, 768)
+
+        if encoder_hidden_states.ndim == 3:
+            text = jnp.broadcast_to(
+                encoder_hidden_states[:, None],
+                (B, N, *encoder_hidden_states.shape[1:]),
+            )
+        else:  # aug-text: per-view captions
+            text = encoder_hidden_states
+        with_cam = jnp.concatenate(
+            [cam_tok[:, :, None].astype(text.dtype), text], axis=2
+        )  # (B, N, L+1, 768)
+
+        # learned unconditional camera embedding (reference :117-121)
+        uncond_cam_param = self.param(
+            "uncond_cam", nn.initializers.normal(1.0),
+            (1, self.uncond_cam_in_dim[0] * self.uncond_cam_in_dim[1]),
+        )
+        # training-time CFG condition dropout (reference :380-402): the
+        # trainer samples uncond_switch; here we substitute deterministically.
+        if uncond_switch is not None and encoder_hidden_states_uncond is not None:
+            ucp = uncond_cam_param.reshape(1, 1, *self.uncond_cam_in_dim)
+            ucam_tok = cam2token(
+                embed_camera_param(ucp, self.cam_num_freqs).astype(self.dtype))
+            utext = jnp.broadcast_to(
+                encoder_hidden_states_uncond[:, None],
+                (1, 1, *encoder_hidden_states_uncond.shape[1:]),
+            )
+            uncond_with_cam = jnp.concatenate(
+                [ucam_tok[:, :, None].astype(utext.dtype), utext], axis=2
+            )  # (1, 1, L+1, 768)
+            sw = uncond_switch[..., None, None].astype(with_cam.dtype)
+            with_cam = with_cam * (1.0 - sw) + uncond_with_cam * sw
+
+        # --- 0.5 bbox tokens ------------------------------------------------
+        if bboxes_3d is not None:
+            bb = bboxes_3d["bboxes"]  # (B, N or 1, max_len, P, 3)
+            cls = bboxes_3d["classes"]
+            msk = bboxes_3d["masks"]
+            n_box_dim = bb.shape[1]
+            bb = bb.reshape(B * n_box_dim, *bb.shape[2:])
+            cls = cls.reshape(B * n_box_dim, -1)
+            msk = msk.reshape(B * n_box_dim, -1)
+            bbox_emb = BBoxEmbedder(
+                n_classes=self.bbox_n_classes,
+                class_token_dim=self.bbox_class_token_dim,
+                proj_dims=self.bbox_proj_dims,
+                mode=self.bbox_mode,
+                num_points=self.bbox_num_points,
+                minmax_normalize=self.bbox_minmax_normalize,
+                dtype=self.dtype,
+                name="bbox_embedder",
+            )(bb, cls, msk)  # (B*n_box_dim, max_len, proj_dims[-1])
+            bbox_emb = bbox_emb.reshape(B, n_box_dim, *bbox_emb.shape[1:])
+            if n_box_dim != N:  # view-shared boxes: repeat per camera
+                bbox_emb = jnp.broadcast_to(
+                    bbox_emb, (B, N, *bbox_emb.shape[2:]))
+        else:
+            bbox_emb = None
+
+        # --- 1. time --------------------------------------------------------
+        ts = timesteps.reshape(-1)  # (B,) or (B*N,)
+        t_emb = get_timestep_embedding(ts, chs[0])
+        emb = TimestepEmbedding(chs[0] * 4, dtype=self.dtype,
+                                name="time_embedding")(t_emb)
+        if emb.shape[0] < B * N:
+            emb = jnp.repeat(emb, N, axis=0)
+
+        # --- flatten (b n) ---------------------------------------------------
+        x = sample.reshape(B * N, *sample.shape[2:]).astype(self.dtype)
+        states = with_cam.reshape(B * N, *with_cam.shape[2:])
+        if bbox_emb is not None:
+            bbox_flat = bbox_emb.reshape(B * N, *bbox_emb.shape[2:])
+            kv = jnp.concatenate([states, bbox_flat.astype(states.dtype)], axis=1)
+        else:
+            kv = states
+
+        # --- 2. pre-process ---------------------------------------------------
+        x = nn.Conv(chs[0], (3, 3), padding=1, dtype=self.dtype, name="conv_in")(x)
+        if self.cond_embedder == "bev_map":
+            cond = BEVMapConditionEmbedder(
+                conditioning_embedding_channels=chs[0],
+                block_out_channels=self.conditioning_embedding_out_channels,
+                n_cam=N, dtype=self.dtype, name="controlnet_cond_embedding",
+            )(controlnet_cond)
+        elif self.cond_embedder == "occ_image":
+            cond = OccImageConditionEmbedder(
+                conditioning_embedding_channels=chs[0],
+                block_out_channels=self.conditioning_embedding_out_channels,
+                n_cam=N, dtype=self.dtype, name="controlnet_cond_embedding",
+            )(controlnet_cond)
+        elif self.cond_embedder == "occ_3d":
+            # raw ORS ray tensor: depth-axis == 320 channels (reference
+            # collate utils.py:409-420 + unet_addon_rawbox.py:967-970)
+            cond = controlnet_cond.reshape(B * N, *controlnet_cond.shape[-3:])
+            cond = cond.astype(self.dtype)
+        else:
+            raise ValueError(self.cond_embedder)
+
+        if self.use_txt_con_fusion:
+            cond = SFATxtCon(con_dim=chs[0], dtype=self.dtype,
+                             name="txt_con_fusion")(cond, states[:, 1:])
+        if self.use_txt_con_fusionp:
+            cond = SFATxtConPlus(con_dim=chs[0], dtype=self.dtype,
+                                 name="txt_con_fusionp")(cond, states[:, 1:])
+        x = x + cond
+
+        # --- 3/4. encoder ------------------------------------------------------
+        res_stack = [x]
+        tx = dict(heads=self.heads, cross_attention_dim=self.cross_attention_dim,
+                  dtype=self.dtype)
+        for i, ch in enumerate(chs):
+            is_final = i == len(chs) - 1
+            if not is_final:
+                x, res = CrossAttnDownBlock2D(
+                    ch, num_layers=self.layers_per_block, add_downsample=True,
+                    **tx, name=f"down_blocks_{i}",
+                )(x, emb, kv, n_cam=N)
+            else:
+                x, res = DownBlock2D(
+                    ch, num_layers=self.layers_per_block, add_downsample=False,
+                    dtype=self.dtype, name=f"down_blocks_{i}",
+                )(x, emb)
+            res_stack += res
+        x = UNetMidBlock2DCrossAttn(chs[-1], **tx, name="mid_block")(
+            x, emb, kv, n_cam=N)
+
+        # --- 5. zero-conv heads --------------------------------------------------
+        downs = []
+        for i, r in enumerate(res_stack):
+            z = nn.Conv(r.shape[-1], (1, 1),
+                        kernel_init=nn.initializers.zeros,
+                        bias_init=nn.initializers.zeros, dtype=self.dtype,
+                        name=f"controlnet_down_blocks_{i}")(r)
+            downs.append(z)
+        mid = nn.Conv(x.shape[-1], (1, 1), kernel_init=nn.initializers.zeros,
+                      bias_init=nn.initializers.zeros, dtype=self.dtype,
+                      name="controlnet_mid_block")(x)
+
+        # --- 6. scaling ------------------------------------------------------------
+        if guess_mode:
+            scales = jnp.logspace(-1.0, 0.0, len(downs) + 1) * conditioning_scale
+            downs = [d * s for d, s in zip(downs, scales[:-1])]
+            mid = mid * scales[-1]
+        else:
+            downs = [d * conditioning_scale for d in downs]
+            mid = mid * conditioning_scale
+
+        return downs, mid, kv

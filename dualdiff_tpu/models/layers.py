@@ -1,0 +1,350 @@
+"""Flax building blocks for the SD v1.5 UNet / ControlNet family.
+
+TPU-first design notes:
+* NHWC layout everywhere (XLA's native conv layout on TPU).
+* Compute dtype (bf16 by default) is threaded via the ``dtype`` attribute;
+  params stay fp32.  GroupNorm/softmax accumulate in fp32.
+* Attention heads are fixed at 8 with head_dim = channels // 8 (diffusers
+  SD v1.5 semantics: ``attention_head_dim=8`` is the head *count*).
+
+Functional parity targets (semantics, not code): diffusers
+``ResnetBlock2D``/``Transformer2DModel``/``BasicTransformerBlock`` as used by
+the reference's UNet and BEVControlNet (reference
+``magicdrive/networks/unet_addon_rawbox.py:217-295``,
+``magicdrive/networks/blocks.py:35-238``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.attention import multi_head_attention
+from ..ops.fourier import timestep_embedding
+
+Dtype = Any
+
+
+def zeros_init():
+    return nn.initializers.zeros
+
+
+class TimestepEmbedding(nn.Module):
+    """linear -> silu -> linear (diffusers ``TimestepEmbedding``)."""
+
+    time_embed_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t_emb: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Dense(self.time_embed_dim, dtype=self.dtype, name="linear_1")(t_emb)
+        x = nn.silu(x)
+        x = nn.Dense(self.time_embed_dim, dtype=self.dtype, name="linear_2")(x)
+        return x
+
+
+class ResnetBlock2D(nn.Module):
+    out_channels: int
+    dtype: Dtype = jnp.float32
+    groups: int = 32
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, temb: jnp.ndarray) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        g = min(self.groups, in_ch)
+        h = nn.GroupNorm(g, epsilon=self.eps, dtype=jnp.float32,
+                         name="norm1")(x)
+        h = nn.silu(h).astype(self.dtype)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv1")(h)
+        t = nn.Dense(self.out_channels, dtype=self.dtype,
+                     name="time_emb_proj")(nn.silu(temb.astype(self.dtype)))
+        h = h + t[:, None, None, :]
+        h = nn.GroupNorm(min(self.groups, self.out_channels), epsilon=self.eps,
+                         dtype=jnp.float32, name="norm2")(h)
+        h = nn.silu(h).astype(self.dtype)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv2")(h)
+        if in_ch != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                        name="conv_shortcut")(x)
+        return x + h
+
+
+class Downsample2D(nn.Module):
+    out_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.Conv(self.out_channels, (3, 3), strides=(2, 2), padding=1,
+                       dtype=self.dtype, name="conv")(x)
+
+
+class Upsample2D(nn.Module):
+    out_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 target_hw: Optional[Tuple[int, int]] = None) -> jnp.ndarray:
+        """Nearest 2x (or to ``target_hw`` — needed when the encoder produced
+        odd spatial dims, diffusers' ``forward_upsample_size``)."""
+        b, h, w, c = x.shape
+        th, tw = target_hw if target_hw is not None else (h * 2, w * 2)
+        x = jax.image.resize(x, (b, th, tw, c), method="nearest")
+        return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                       name="conv")(x)
+
+
+class Attention(nn.Module):
+    """Multi-head attention with separate q/kv dims (diffusers ``Attention``)."""
+
+    query_dim: int
+    heads: int = 8
+    kv_dim: Optional[int] = None
+    out_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden_states: jnp.ndarray,
+        encoder_hidden_states: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        kv = hidden_states if encoder_hidden_states is None else encoder_hidden_states
+        inner = self.query_dim
+        head_dim = inner // self.heads
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(hidden_states)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(kv)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(kv)
+        b, lq = q.shape[:2]
+        lk = k.shape[1]
+        q = q.reshape(b, lq, self.heads, head_dim)
+        k = k.reshape(b, lk, self.heads, head_dim)
+        v = v.reshape(b, lk, self.heads, head_dim)
+        out = multi_head_attention(q, k, v)
+        out = out.reshape(b, lq, inner)
+        return nn.Dense(inner, use_bias=self.out_bias, dtype=self.dtype,
+                        name="to_out_0")(out)
+
+
+class GEGLUFeedForward(nn.Module):
+    dim: int
+    mult: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        inner = self.dim * self.mult
+        h = nn.Dense(inner * 2, dtype=self.dtype, name="net_0_proj")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        h = h * nn.gelu(gate.astype(jnp.float32)).astype(self.dtype)
+        return nn.Dense(self.dim, dtype=self.dtype, name="net_2")(h)
+
+
+class GatedConnector(nn.Module):
+    """tanh(alpha) * x with zero-init alpha (reference blocks.py:24-32)."""
+
+    dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        alpha = self.param("alpha", nn.initializers.zeros, (self.dim,))
+        return jnp.tanh(alpha).astype(self.dtype) * x
+
+
+def _ln(name: str):
+    return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=name)
+
+
+class BasicTransformerBlock(nn.Module):
+    """self-attn -> cross-attn -> FF, with optional cross-view attn4 and
+    optional video hooks (ST-Attn kv override on attn1, temporal attn).
+
+    Cross-view semantics follow reference ``blocks.py:144-238``: attn4 runs
+    per camera against its static neighbor ring, outputs summed over
+    neighbors and gated through a zero-init connector.
+    """
+
+    dim: int
+    heads: int = 8
+    cross_attention_dim: int = 768
+    # multiview
+    multiview: bool = False
+    neighboring_view_pair: Optional[Tuple[Tuple[int, ...], ...]] = None
+    neighboring_attn_type: str = "add"
+    zero_module_type: str = "zero_linear"
+    # video
+    st_attn: bool = False
+    temporal: bool = False
+    num_frames: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden_states: jnp.ndarray,  # (B', L, D) where B' folds batch/cam/frame
+        encoder_hidden_states: jnp.ndarray,  # (B', L_kv, D_kv)
+        n_cam: int = 1,
+    ) -> jnp.ndarray:
+        d = self.dim
+        # 1. self attention (ST-Attn replaces KV with [first; prev] frames)
+        norm_h = _ln("norm1")(hidden_states).astype(self.dtype)
+        if self.st_attn and self.num_frames > 1:
+            kv = self._st_attn_kv(norm_h)
+        else:
+            kv = None
+        attn_out = Attention(d, self.heads, dtype=self.dtype, name="attn1")(
+            norm_h, kv
+        )
+        hidden_states = hidden_states + attn_out
+
+        # 2. text cross attention
+        norm_h = _ln("norm2")(hidden_states).astype(self.dtype)
+        attn_out = Attention(d, self.heads, dtype=self.dtype, name="attn2")(
+            norm_h, encoder_hidden_states.astype(self.dtype)
+        )
+        hidden_states = hidden_states + attn_out
+
+        # 2.5 multiview cross attention (attn4)
+        if self.multiview:
+            norm_h = _ln("norm4")(hidden_states).astype(self.dtype)
+            attn_out = self._multiview_attn(norm_h, n_cam)
+            if self.zero_module_type == "zero_linear":
+                attn_out = nn.Dense(
+                    d, kernel_init=nn.initializers.zeros,
+                    bias_init=nn.initializers.zeros, dtype=self.dtype,
+                    name="connector")(attn_out)
+            elif self.zero_module_type == "gated":
+                attn_out = GatedConnector(d, dtype=self.dtype,
+                                          name="connector")(attn_out)
+            elif self.zero_module_type != "none":
+                raise ValueError(self.zero_module_type)
+            hidden_states = hidden_states + attn_out
+
+        # 2.75 temporal attention (video): attend over the frame axis
+        if self.temporal and self.num_frames > 1:
+            norm_h = _ln("norm_temporal")(hidden_states).astype(self.dtype)
+            attn_out = self._temporal_attn(norm_h)
+            attn_out = nn.Dense(
+                d, kernel_init=nn.initializers.zeros,
+                bias_init=nn.initializers.zeros, dtype=self.dtype,
+                name="temporal_connector")(attn_out)
+            hidden_states = hidden_states + attn_out
+
+        # 3. feed forward
+        norm_h = _ln("norm3")(hidden_states).astype(self.dtype)
+        hidden_states = hidden_states + GEGLUFeedForward(
+            d, dtype=self.dtype, name="ff")(norm_h)
+        return hidden_states
+
+    # -- helpers -----------------------------------------------------------
+    def _multiview_attn(self, norm_h: jnp.ndarray, n_cam: int) -> jnp.ndarray:
+        bn, l, d = norm_h.shape
+        b = bn // n_cam
+        h = norm_h.reshape(b, n_cam, l, d)
+        pairs = self.neighboring_view_pair
+        attn4 = Attention(d, self.heads, dtype=self.dtype, name="attn4")
+
+        if self.neighboring_attn_type == "self":
+            out = attn4(h.reshape(b, n_cam * l, d), None)
+            return out.reshape(bn, l, d)
+
+        left = np.array([pairs[i][0] for i in range(n_cam)])
+        right = np.array([pairs[i][1] for i in range(n_cam)])
+        kv_left = jnp.take(h, left, axis=1).reshape(bn, l, d)
+        kv_right = jnp.take(h, right, axis=1).reshape(bn, l, d)
+        q = h.reshape(bn, l, d)
+        if self.neighboring_attn_type == "add":
+            # sum of per-neighbor attention outputs (reference blocks.py:209-217)
+            out = attn4(q, kv_left) + attn4(q, kv_right)
+        elif self.neighboring_attn_type == "concat":
+            out = attn4(q, jnp.concatenate([kv_left, kv_right], axis=1))
+        else:
+            raise ValueError(self.neighboring_attn_type)
+        return out
+
+    def _st_attn_kv(self, norm_h: jnp.ndarray) -> jnp.ndarray:
+        """KV = concat(first frame, previous frame) per token position.
+
+        Layout contract: leading dim folds (..., frame) with frame as the
+        *innermost* folded axis (b*cam*frame)."""
+        bf, l, d = norm_h.shape
+        f = self.num_frames
+        h = norm_h.reshape(bf // f, f, l, d)
+        first = jnp.broadcast_to(h[:, :1], h.shape)
+        prev = jnp.concatenate([h[:, :1], h[:, :-1]], axis=1)
+        kv = jnp.concatenate([first, prev], axis=2)  # (b, f, 2l, d)
+        return kv.reshape(bf, 2 * l, d)
+
+    def _temporal_attn(self, norm_h: jnp.ndarray) -> jnp.ndarray:
+        bf, l, d = norm_h.shape
+        f = self.num_frames
+        h = norm_h.reshape(bf // f, f, l, d)
+        h = jnp.swapaxes(h, 1, 2).reshape(-1, f, d)  # (b*l, f, d)
+        out = Attention(d, self.heads, dtype=self.dtype, name="attn_temporal")(
+            h, None
+        )
+        out = out.reshape(bf // f, l, f, d)
+        return jnp.swapaxes(out, 1, 2).reshape(bf, l, d)
+
+
+class Transformer2DModel(nn.Module):
+    """GroupNorm -> 1x1 conv in -> transformer block(s) -> 1x1 conv out + res."""
+
+    in_channels: int
+    heads: int = 8
+    cross_attention_dim: int = 768
+    num_layers: int = 1
+    multiview: bool = False
+    neighboring_view_pair: Optional[Tuple[Tuple[int, ...], ...]] = None
+    neighboring_attn_type: str = "add"
+    zero_module_type: str = "zero_linear"
+    st_attn: bool = False
+    temporal: bool = False
+    num_frames: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,  # (B', H, W, C)
+        encoder_hidden_states: jnp.ndarray,
+        n_cam: int = 1,
+    ) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        residual = x
+        hs = nn.GroupNorm(min(32, c), epsilon=1e-6, dtype=jnp.float32, name="norm")(x)
+        hs = hs.astype(self.dtype)
+        hs = nn.Conv(self.in_channels, (1, 1), dtype=self.dtype, name="proj_in")(hs)
+        hs = hs.reshape(b, h * w, c)
+        for i in range(self.num_layers):
+            hs = BasicTransformerBlock(
+                dim=self.in_channels,
+                heads=self.heads,
+                cross_attention_dim=self.cross_attention_dim,
+                multiview=self.multiview,
+                neighboring_view_pair=self.neighboring_view_pair,
+                neighboring_attn_type=self.neighboring_attn_type,
+                zero_module_type=self.zero_module_type,
+                st_attn=self.st_attn,
+                temporal=self.temporal,
+                num_frames=self.num_frames,
+                dtype=self.dtype,
+                name=f"transformer_blocks_{i}",
+            )(hs, encoder_hidden_states, n_cam=n_cam)
+        hs = hs.reshape(b, h, w, c)
+        hs = nn.Conv(self.in_channels, (1, 1), dtype=self.dtype, name="proj_out")(hs)
+        return hs + residual
+
+
+def get_timestep_embedding(timesteps: jnp.ndarray, dim: int) -> jnp.ndarray:
+    """SD v1.5 sinusoidal proj (flip_sin_to_cos=True, shift=0)."""
+    return timestep_embedding(timesteps, dim, flip_sin_to_cos=True)

@@ -1,0 +1,300 @@
+"""SD v1.5 conditional UNet with cross-view (and optional video) attention.
+
+TPU-native re-design of the reference's ``UNet2DConditionModelMultiview``
+(reference ``magicdrive/networks/unet_2d_condition_multiview.py:44-527``):
+every transformer block carries the multiview attn4 path
+(``blocks.py:35-238``), residuals from the ControlNet branch(es) are added to
+the skip connections (``unet_2d_condition_multiview.py:464-488``).
+
+Layout: NHWC; the leading batch dim folds ``(batch, cam[, frame])`` with
+frame innermost.  Everything static-shaped; jit/pjit friendly.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .layers import (
+    BasicTransformerBlock,
+    Downsample2D,
+    ResnetBlock2D,
+    TimestepEmbedding,
+    Transformer2DModel,
+    Upsample2D,
+    get_timestep_embedding,
+)
+
+Dtype = Any
+
+
+class CrossAttnDownBlock2D(nn.Module):
+    out_channels: int
+    num_layers: int = 2
+    add_downsample: bool = True
+    heads: int = 8
+    cross_attention_dim: int = 768
+    multiview: bool = False
+    neighboring_view_pair: Optional[Tuple[Tuple[int, ...], ...]] = None
+    neighboring_attn_type: str = "add"
+    zero_module_type: str = "zero_linear"
+    st_attn: bool = False
+    temporal: bool = False
+    num_frames: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb, encoder_hidden_states, n_cam=1):
+        res = []
+        for i in range(self.num_layers):
+            x = ResnetBlock2D(self.out_channels, dtype=self.dtype,
+                              name=f"resnets_{i}")(x, temb)
+            x = Transformer2DModel(
+                self.out_channels, heads=self.heads,
+                cross_attention_dim=self.cross_attention_dim,
+                multiview=self.multiview,
+                neighboring_view_pair=self.neighboring_view_pair,
+                neighboring_attn_type=self.neighboring_attn_type,
+                zero_module_type=self.zero_module_type,
+                st_attn=self.st_attn, temporal=self.temporal,
+                num_frames=self.num_frames, dtype=self.dtype,
+                name=f"attentions_{i}",
+            )(x, encoder_hidden_states, n_cam=n_cam)
+            res.append(x)
+        if self.add_downsample:
+            x = Downsample2D(self.out_channels, dtype=self.dtype,
+                             name="downsamplers_0")(x)
+            res.append(x)
+        return x, res
+
+
+class DownBlock2D(nn.Module):
+    out_channels: int
+    num_layers: int = 2
+    add_downsample: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb):
+        res = []
+        for i in range(self.num_layers):
+            x = ResnetBlock2D(self.out_channels, dtype=self.dtype,
+                              name=f"resnets_{i}")(x, temb)
+            res.append(x)
+        if self.add_downsample:
+            x = Downsample2D(self.out_channels, dtype=self.dtype,
+                             name="downsamplers_0")(x)
+            res.append(x)
+        return x, res
+
+
+class UNetMidBlock2DCrossAttn(nn.Module):
+    channels: int
+    heads: int = 8
+    cross_attention_dim: int = 768
+    multiview: bool = False
+    neighboring_view_pair: Optional[Tuple[Tuple[int, ...], ...]] = None
+    neighboring_attn_type: str = "add"
+    zero_module_type: str = "zero_linear"
+    st_attn: bool = False
+    temporal: bool = False
+    num_frames: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb, encoder_hidden_states, n_cam=1):
+        x = ResnetBlock2D(self.channels, dtype=self.dtype, name="resnets_0")(x, temb)
+        x = Transformer2DModel(
+            self.channels, heads=self.heads,
+            cross_attention_dim=self.cross_attention_dim,
+            multiview=self.multiview,
+            neighboring_view_pair=self.neighboring_view_pair,
+            neighboring_attn_type=self.neighboring_attn_type,
+            zero_module_type=self.zero_module_type,
+            st_attn=self.st_attn, temporal=self.temporal,
+            num_frames=self.num_frames, dtype=self.dtype,
+            name="attentions_0",
+        )(x, encoder_hidden_states, n_cam=n_cam)
+        x = ResnetBlock2D(self.channels, dtype=self.dtype, name="resnets_1")(x, temb)
+        return x
+
+
+class UpBlock2D(nn.Module):
+    out_channels: int
+    num_layers: int = 3
+    add_upsample: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, res_stack, temb):
+        for i in range(self.num_layers):
+            skip = res_stack.pop()
+            x = jnp.concatenate([x, skip], axis=-1)
+            x = ResnetBlock2D(self.out_channels, dtype=self.dtype,
+                              name=f"resnets_{i}")(x, temb)
+        if self.add_upsample:
+            target = res_stack[-1].shape[1:3] if res_stack else None
+            x = Upsample2D(self.out_channels, dtype=self.dtype,
+                           name="upsamplers_0")(x, target)
+        return x
+
+
+class CrossAttnUpBlock2D(nn.Module):
+    out_channels: int
+    num_layers: int = 3
+    add_upsample: bool = True
+    heads: int = 8
+    cross_attention_dim: int = 768
+    multiview: bool = False
+    neighboring_view_pair: Optional[Tuple[Tuple[int, ...], ...]] = None
+    neighboring_attn_type: str = "add"
+    zero_module_type: str = "zero_linear"
+    st_attn: bool = False
+    temporal: bool = False
+    num_frames: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, res_stack, temb, encoder_hidden_states, n_cam=1):
+        for i in range(self.num_layers):
+            skip = res_stack.pop()
+            x = jnp.concatenate([x, skip], axis=-1)
+            x = ResnetBlock2D(self.out_channels, dtype=self.dtype,
+                              name=f"resnets_{i}")(x, temb)
+            x = Transformer2DModel(
+                self.out_channels, heads=self.heads,
+                cross_attention_dim=self.cross_attention_dim,
+                multiview=self.multiview,
+                neighboring_view_pair=self.neighboring_view_pair,
+                neighboring_attn_type=self.neighboring_attn_type,
+                zero_module_type=self.zero_module_type,
+                st_attn=self.st_attn, temporal=self.temporal,
+                num_frames=self.num_frames, dtype=self.dtype,
+                name=f"attentions_{i}",
+            )(x, encoder_hidden_states, n_cam=n_cam)
+        if self.add_upsample:
+            target = res_stack[-1].shape[1:3] if res_stack else None
+            x = Upsample2D(self.out_channels, dtype=self.dtype,
+                           name="upsamplers_0")(x, target)
+        return x
+
+
+class UNet2DConditionMultiview(nn.Module):
+    """SD v1.5 UNet; transformer blocks are multiview when configured.
+
+    ``trainable_state='only_new'`` (reference semantics) is implemented in
+    the trainer by masking gradients to parameter paths containing
+    ``attn4 / norm4 / connector / temporal / st_attn`` — the module itself is
+    a pure function of all params.
+    """
+
+    in_channels: int = 4
+    out_channels: int = 4
+    block_out_channels: Sequence[int] = (320, 640, 1280, 1280)
+    layers_per_block: int = 2
+    heads: int = 8
+    cross_attention_dim: int = 768
+    multiview: bool = True
+    neighboring_view_pair: Optional[Tuple[Tuple[int, ...], ...]] = (
+        (5, 1), (0, 2), (1, 3), (2, 4), (3, 5), (4, 0))
+    neighboring_attn_type: str = "add"
+    zero_module_type: str = "zero_linear"
+    st_attn: bool = False
+    temporal: bool = False
+    num_frames: int = 1
+    dtype: Dtype = jnp.float32
+
+    def _tx_kwargs(self):
+        return dict(
+            heads=self.heads, cross_attention_dim=self.cross_attention_dim,
+            multiview=self.multiview,
+            neighboring_view_pair=self.neighboring_view_pair,
+            neighboring_attn_type=self.neighboring_attn_type,
+            zero_module_type=self.zero_module_type,
+            st_attn=self.st_attn, temporal=self.temporal,
+            num_frames=self.num_frames, dtype=self.dtype,
+        )
+
+    @nn.compact
+    def __call__(
+        self,
+        sample: jnp.ndarray,  # (B', H/8, W/8, 4)
+        timesteps: jnp.ndarray,  # (B',)
+        encoder_hidden_states: jnp.ndarray,  # (B', L, 768)
+        down_block_additional_residuals: Optional[Sequence[jnp.ndarray]] = None,
+        mid_block_additional_residual: Optional[jnp.ndarray] = None,
+        n_cam: int = 6,
+    ) -> jnp.ndarray:
+        chs = list(self.block_out_channels)
+        tx = self._tx_kwargs()
+
+        t_emb = get_timestep_embedding(timesteps, chs[0])
+        temb = TimestepEmbedding(chs[0] * 4, dtype=self.dtype,
+                                 name="time_embedding")(t_emb)
+
+        x = nn.Conv(chs[0], (3, 3), padding=1, dtype=self.dtype,
+                    name="conv_in")(sample.astype(self.dtype))
+        res_stack = [x]
+
+        # down
+        for i, ch in enumerate(chs):
+            is_final = i == len(chs) - 1
+            if not is_final:
+                x, res = CrossAttnDownBlock2D(
+                    ch, num_layers=self.layers_per_block, add_downsample=True,
+                    **tx, name=f"down_blocks_{i}",
+                )(x, temb, encoder_hidden_states, n_cam=n_cam)
+            else:
+                x, res = DownBlock2D(
+                    ch, num_layers=self.layers_per_block, add_downsample=False,
+                    dtype=self.dtype, name=f"down_blocks_{i}",
+                )(x, temb)
+            res_stack += res
+
+        if down_block_additional_residuals is not None:
+            res_stack = [
+                r + a.astype(r.dtype)
+                for r, a in zip(res_stack, down_block_additional_residuals)
+            ]
+
+        # mid
+        x = UNetMidBlock2DCrossAttn(chs[-1], **tx, name="mid_block")(
+            x, temb, encoder_hidden_states, n_cam=n_cam)
+        if mid_block_additional_residual is not None:
+            x = x + mid_block_additional_residual.astype(x.dtype)
+
+        # up
+        rev = list(reversed(chs))  # [1280, 1280, 640, 320]
+        for i, ch in enumerate(rev):
+            is_final = i == len(rev) - 1
+            if i == 0:
+                x = UpBlock2D(
+                    ch, num_layers=self.layers_per_block + 1,
+                    add_upsample=not is_final, dtype=self.dtype,
+                    name=f"up_blocks_{i}",
+                )(x, res_stack, temb)
+            else:
+                x = CrossAttnUpBlock2D(
+                    ch, num_layers=self.layers_per_block + 1,
+                    add_upsample=not is_final, **tx,
+                    name=f"up_blocks_{i}",
+                )(x, res_stack, temb, encoder_hidden_states, n_cam=n_cam)
+
+        x = nn.GroupNorm(min(32, x.shape[-1]), epsilon=1e-5, dtype=jnp.float32,
+                         name="conv_norm_out")(x)
+        x = nn.silu(x).astype(self.dtype)
+        x = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv_out")(x)
+        return x
+
+
+NEW_PARAM_MARKERS = ("attn4", "norm4", "connector", "temporal", "attn_temporal")
+
+
+def is_new_multiview_param(path: Tuple[str, ...]) -> bool:
+    """True for params introduced by the multiview/video surgery — the set
+    trained under ``trainable_state='only_new'`` (reference
+    ``unet_2d_condition_multiview.py:237-252``)."""
+    return any(any(m in part for m in NEW_PARAM_MARKERS) for part in path)

@@ -85,7 +85,15 @@ def _pad_to(x: jnp.ndarray, axis: int, mult: int) -> jnp.ndarray:
     return jnp.pad(x, widths)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
+def _tracing_on_tpu() -> bool:
+    """True when ops traced right now will run on TPU (honors the
+    ``jax.default_device`` override used for cheap CPU-side param init)."""
+    dd = jax.config.jax_default_device
+    if dd is not None:
+        return getattr(dd, "platform", None) == "tpu"
+    return jax.default_backend() == "tpu"
+
+
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -130,7 +138,7 @@ def flash_attention(
         out_specs=pl.BlockSpec((1, block_q, d_p), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b * h, lq_p, d_p), q.dtype),
-        interpret=jax.default_backend() != "tpu",  # CPU tests run interpreted
+        interpret=not _tracing_on_tpu(),  # CPU tests run interpreted
     )(qb, kb, vb)
     out = out[:, :lq, :d].reshape(b, h, lq, d)
     return jnp.transpose(out, (0, 2, 1, 3))
@@ -145,9 +153,8 @@ def multi_head_attention(
 ) -> jnp.ndarray:
     """Dispatcher.  (B, L, H, Dh) in/out."""
     if use_flash is None:
-        on_tpu = jax.default_backend() == "tpu"
         # flash pays off once the score matrix stops fitting in VMEM
-        use_flash = on_tpu and q.shape[1] >= 1024 and k.shape[1] >= 1024
+        use_flash = _tracing_on_tpu() and q.shape[1] >= 1024 and k.shape[1] >= 1024
     if use_flash:
         return flash_attention(q, k, v, scale=scale)
     return mha_einsum(q, k, v, scale=scale)
