@@ -1,0 +1,236 @@
+"""Batch assembly (the conditioning heart of the data layer).
+
+TPU-native redesign of the reference ``collate_fn``
+(``magicdrive/dataset/utils.py:305-561``): same outputs semantically, but
+
+* every tensor is padded to *static* shapes (XLA-friendly),
+* ORS ray projection and FGM hull rasterization move on-device — collate
+  only ships their raw inputs (occ label volume + camera poses; padded box
+  corners) instead of burning CPU in loader workers,
+* per-branch conditioning is described by explicit ``BranchSpec`` structs
+  instead of scalar-or-list flag polymorphism.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..ops.boxes import preprocess_bbox
+
+__all__ = ["BranchSpec", "branch_specs_from_cfg", "collate_fn"]
+
+
+@dataclasses.dataclass(frozen=True)
+class BranchSpec:
+    """Conditioning configuration of one ControlNet branch."""
+
+    cond_kind: str = "bev_map"  # bev_map | occ_image | occ_3d
+    use_map_vec: bool = False
+    map_vec_points: int = 8
+    view_shared: bool = False
+    occ_fg: bool = True
+    occ_bg: bool = True
+
+
+def _as_list(v, i):
+    return v[i] if isinstance(v, (list, tuple)) else v
+
+
+def branch_specs_from_cfg(cfg) -> List[BranchSpec]:
+    """Derive branch specs from the reference-compatible global flags
+    (reference config.yaml:31-45 and multiview_runner.py:168-211)."""
+    n = 2 if cfg.use_dual_controlnet else 1
+    specs = []
+    for i in range(n):
+        occ3d = bool(_as_list(cfg.use_occ_3d, i))
+        if str(cfg.task_id) == "224x400" and not occ3d:
+            kind = "bev_map"  # vanilla MagicDrive-style branch
+        elif occ3d:
+            kind = "occ_3d"
+        else:
+            kind = "occ_image"
+        use_map_vec = bool(_as_list(cfg.use_map_vec, i))
+        pts = 40 if _as_list(cfg.use_map_vec_40pts, i) else 8
+        view_shared = bool(_as_list(cfg.model.bbox_view_shared, i)) or use_map_vec
+        specs.append(BranchSpec(
+            cond_kind=kind,
+            use_map_vec=use_map_vec,
+            map_vec_points=pts,
+            view_shared=view_shared,
+            occ_fg=bool(_as_list(cfg.use_occ_3d_fg, i)) if occ3d else True,
+            occ_bg=bool(_as_list(cfg.use_occ_3d_bg, i)) if occ3d else True,
+        ))
+    return specs
+
+
+def _pad_map_vec(examples, max_len: int, n_points: int) -> Optional[Dict]:
+    """Reference ``_preprocess_map_vec`` (dataset/utils.py:265-302):
+    view-shared vectorized map polylines as 'boxes'."""
+    B = len(examples)
+    boxes = np.zeros((B, 1, max_len, n_points, 3), np.float32)
+    classes = -np.ones((B, 1, max_len), np.int64)
+    masks = np.zeros((B, 1, max_len), bool)
+    any_vec = False
+    for b, ex in enumerate(examples):
+        vec = ex.get("map_vec_boxes")
+        if vec is None or len(vec) == 0:
+            continue
+        cls = ex["map_vec_classes"]
+        k = min(len(vec), max_len)
+        pts = vec[:k]
+        if pts.shape[1] != n_points:  # resample polyline to n_points
+            idx = np.linspace(0, pts.shape[1] - 1, n_points)
+            lo = np.floor(idx).astype(int)
+            hi = np.ceil(idx).astype(int)
+            t = (idx - lo)[None, :, None]
+            pts = pts[:, lo] * (1 - t) + pts[:, hi] * t
+        boxes[b, 0, :k] = pts
+        classes[b, 0, :k] = cls[:k]
+        masks[b, 0, :k] = True
+        any_vec = True
+    if not any_vec:
+        return None
+    return {"bboxes": boxes, "classes": classes, "masks": masks}
+
+
+def _build_captions(examples, template: str, aug_text: bool,
+                    bbox_classes: Optional[np.ndarray],
+                    object_classes: Sequence[str], n_cam: int) -> List[str]:
+    captions = []
+    for b, ex in enumerate(examples):
+        cap = template.format(location=ex["location"],
+                              description=ex["description"])
+        if not aug_text:
+            captions.append(cap)
+            continue
+        # per-view caption augmented with the visible class list (reference
+        # dataset/utils.py:494-509)
+        for v in range(n_cam):
+            names = []
+            if bbox_classes is not None:
+                cls = bbox_classes[b, min(v, bbox_classes.shape[1] - 1)]
+                uniq = sorted({int(c) for c in cls if c >= 0})
+                names = [object_classes[c] for c in uniq]
+            suffix = (" " + ", ".join(names).capitalize() + ".") if names else ""
+            captions.append(cap + suffix)
+    return captions
+
+
+def collate_fn(
+    examples: Sequence[Dict],
+    cfg,
+    tokenizer,
+    is_train: bool = True,
+    rng: Optional[np.random.Generator] = None,
+    bbox_max_len: Optional[int] = None,
+) -> Dict:
+    rng = rng or np.random.default_rng()
+    specs = branch_specs_from_cfg(cfg)
+    B = len(examples)
+    n_cam = len(examples[0]["camera_intrinsics"])
+    max_len = int(
+        bbox_max_len
+        or cfg.runner.pipeline_param.get("bbox_max_length") or 160)
+
+    out: Dict = {"meta": {
+        "token": [ex["token"] for ex in examples],
+        "location": [ex["location"] for ex in examples],
+        "description": [ex["description"] for ex in examples],
+    }}
+
+    if "img" in examples[0]:
+        out["pixel_values"] = np.stack([ex["img"] for ex in examples])
+    elif is_train:
+        raise RuntimeError("For training, you must provide gt images.")
+
+    # BEV map: first 8 channels only (map classes), channels-last
+    out["bev_map"] = np.stack([
+        np.transpose(ex["gt_masks_bev"][:8], (1, 2, 0)) for ex in examples
+    ]).astype(np.float32)
+
+    # camera_param: intrinsics 3x3 || camera2lidar 3x4 -> (B, N, 3, 7)
+    out["camera_param"] = np.stack([
+        np.concatenate([
+            ex["camera_intrinsics"][:, :3, :3],
+            ex["camera2lidar"][:, :3, :4],
+        ], axis=-1) for ex in examples
+    ]).astype(np.float32)
+
+    l2c = np.stack([ex["lidar2camera"] for ex in examples])
+    l2i = np.stack([ex["lidar2image"] for ex in examples])
+    aug = np.stack([ex["img_aug_matrix"] for ex in examples])
+    gt_boxes = [ex["gt_bboxes_3d"] for ex in examples]
+    gt_labels = [ex["gt_labels_3d"] for ex in examples]
+    canvas = examples[0]["img"].shape[1:3] if "img" in examples[0] \
+        else tuple(cfg.dataset.image_size)
+
+    # per-branch bbox data + conditioning inputs ---------------------------
+    branches = []
+    raw_box_data = None
+    for spec in specs:
+        if spec.use_map_vec:
+            boxes_3d = _pad_map_vec(examples, max_len, spec.map_vec_points)
+        else:
+            boxes_3d = preprocess_bbox(
+                gt_boxes, gt_labels, l2c, l2i, aug, canvas,
+                bbox_mode=cfg.model.bbox_mode,
+                view_shared=spec.view_shared,
+                max_len=max_len, is_train=is_train,
+                bbox_drop_ratio=float(cfg.runner.bbox_drop_ratio),
+                bbox_add_ratio=float(cfg.runner.bbox_add_ratio),
+                bbox_add_num=int(cfg.runner.bbox_add_num),
+                rng=rng,
+            )
+            if raw_box_data is None:
+                raw_box_data = boxes_3d
+        branch = {"spec": spec, "bboxes_3d": boxes_3d}
+        if spec.cond_kind == "bev_map":
+            branch["cond"] = out["bev_map"]
+        elif spec.cond_kind == "occ_image":
+            branch["cond"] = np.stack(
+                [ex["occ_proj_image"] for ex in examples])
+        else:  # occ_3d: device-side ORS; ship raw inputs once
+            branch["cond"] = None
+            if "occ_labels" not in out:
+                out["occ_labels"] = np.stack(
+                    [ex["occ_labels"] for ex in examples])
+                out["occ_cam_K"] = np.stack(
+                    [ex["occ_cam_K"] for ex in examples])
+                out["occ_cam_T"] = np.stack(
+                    [ex["occ_cam_T"] for ex in examples])
+        branches.append(branch)
+    out["branches"] = branches
+
+    # captions -------------------------------------------------------------
+    aug_text = bool(cfg.use_aug_text)
+    bbox_classes = raw_box_data["classes"] if (aug_text and raw_box_data) else None
+    captions = _build_captions(
+        examples, cfg.dataset.template, aug_text, bbox_classes,
+        list(cfg.dataset.object_classes), n_cam)
+    out["captions"] = captions
+    if tokenizer is not None:
+        out["input_ids"] = tokenizer(captions)
+        out["uncond_ids"] = tokenizer([""])
+
+    # FGM heatmap inputs (device-side rasterization) -----------------------
+    if is_train and cfg.use_aug_loss:
+        fgm = preprocess_bbox(
+            gt_boxes, gt_labels, l2c, l2i, aug, canvas,
+            bbox_mode="all-xyz", view_shared=False, use_3d_filter=False,
+            max_len=max_len, is_train=is_train,
+            bbox_drop_ratio=float(cfg.runner.bbox_drop_ratio),
+            bbox_add_ratio=float(cfg.runner.bbox_add_ratio),
+            bbox_add_num=int(cfg.runner.bbox_add_num),
+            rng=rng, for_mask=True,
+        )
+        if fgm is not None:
+            # reference uses intrinsics @ lidar2camera (no img aug) for FGM
+            intr = np.stack([ex["camera_intrinsics"] for ex in examples])
+            out["fgm"] = {
+                "bboxes": fgm["bboxes"], "masks": fgm["masks"],
+                "lidar2image": (intr @ l2c).astype(np.float32),
+            }
+    return out

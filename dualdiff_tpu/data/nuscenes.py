@@ -1,0 +1,230 @@
+"""nuScenes dataset reader (infos-pkl based, mmdet3d-free).
+
+Replaces the reference's mmdet3d ``NuScenesDatasetM`` + mmcv pipeline
+(reference ``magicdrive/dataset/nuscenes_dataset.py:13-245``,
+``pipeline.py``): reads the ``nuscenes_infos_{train,val}.pkl`` produced by
+``tools/create_data.py`` (same schema as the reference converter,
+``tools/data_converter/nuscenes_converter.py:197-249``), loads + resizes the
+6 camera images (the deterministic ImageAug3D path: resize by
+``augment2d.resize`` mean, crop bottom ``final_dim``), assembles camera
+matrices, and reads BEV masks from the h5 cache produced by
+``tools/prepare_map_aux.py`` (live NuScenesMap rasterization needs the
+nuscenes-devkit + map assets and is intentionally cache-first here).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import pickle
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+__all__ = ["NuScenesDataset"]
+
+
+def _quat_to_rot(q: Sequence[float]) -> np.ndarray:
+    """(w, x, y, z) quaternion -> 3x3 rotation (replaces pyquaternion)."""
+    w, x, y, z = q
+    n = w * w + x * x + y * y + z * z
+    s = 2.0 / n if n > 0 else 0.0
+    wx, wy, wz = s * w * x, s * w * y, s * w * z
+    xx, xy, xz = s * x * x, s * x * y, s * x * z
+    yy, yz, zz = s * y * y, s * y * z, s * z * z
+    return np.array([
+        [1 - (yy + zz), xy - wz, xz + wy],
+        [xy + wz, 1 - (xx + zz), yz - wx],
+        [xz - wy, yz + wx, 1 - (xx + yy)],
+    ])
+
+
+class NuScenesDataset:
+    def __init__(
+        self,
+        ann_file: str,
+        dataset_root: str = "data/nuscenes/",
+        object_classes: Sequence[str] = (),
+        image_size: Tuple[int, int] = (224, 400),
+        resize_ratio: float = 0.25,
+        view_order: Sequence[str] = (
+            "CAM_FRONT_LEFT", "CAM_FRONT", "CAM_FRONT_RIGHT",
+            "CAM_BACK_RIGHT", "CAM_BACK", "CAM_BACK_LEFT"),
+        cache_file: Optional[str] = None,
+        occ_proj_root: Optional[str] = None,
+        occ3d_root: Optional[str] = None,
+        map_vec_root: Optional[str] = None,
+        visibility_threshold: int = 1,
+        load_images: bool = True,
+    ):
+        with open(ann_file, "rb") as f:
+            data = pickle.load(f)
+        self.infos = data["infos"] if isinstance(data, dict) else data
+        if isinstance(data, dict) and "metadata" in data:
+            log.info("nuscenes infos version: %s", data["metadata"])
+        self.infos = sorted(self.infos, key=lambda e: e["timestamp"]) \
+            if self.infos and "timestamp" in self.infos[0] else self.infos
+        self.dataset_root = dataset_root
+        self.object_classes = list(object_classes)
+        self.image_size = tuple(image_size)
+        self.resize_ratio = resize_ratio
+        self.view_order = list(view_order)
+        self.cache_file = cache_file
+        self.occ_proj_root = occ_proj_root
+        self.occ3d_root = occ3d_root
+        self.map_vec_root = map_vec_root
+        self.visibility_threshold = visibility_threshold
+        self.load_images = load_images
+        self._h5 = None
+
+    def __len__(self) -> int:
+        return len(self.infos)
+
+    # ------------------------------------------------------------------
+    def _load_image(self, path: str) -> np.ndarray:
+        from PIL import Image
+
+        h, w = self.image_size
+        img = Image.open(os.path.join(self.dataset_root, path)).convert("RGB")
+        iw, ih = img.size
+        rw, rh = int(iw * self.resize_ratio), int(ih * self.resize_ratio)
+        img = img.resize((rw, rh), Image.BILINEAR)
+        # bottom crop to final_dim (ImageAug3D bot_pct_lim=(0,0): keep bottom)
+        left = max((rw - w) // 2, 0)
+        top = max(rh - h, 0)
+        img = img.crop((left, top, left + w, top + h))
+        arr = np.asarray(img, np.float32) / 255.0
+        return arr * 2.0 - 1.0  # ImageNormalize mean/std 0.5
+
+    def _aug_matrix(self, iw: int, ih: int) -> np.ndarray:
+        h, w = self.image_size
+        rw, rh = int(iw * self.resize_ratio), int(ih * self.resize_ratio)
+        m = np.eye(4)
+        m[0, 0] = m[1, 1] = self.resize_ratio
+        m[0, 3] = -max((rw - w) // 2, 0)
+        m[1, 3] = -(max(rh - h, 0))
+        return m
+
+    def _bev_masks(self, token: str) -> np.ndarray:
+        if self.cache_file:
+            import h5py
+
+            if self._h5 is None:
+                self._h5 = h5py.File(self.cache_file, "r")
+            if token in self._h5:
+                packed = np.asarray(self._h5[token])
+                return self._unpack(packed)
+        return np.zeros((18, 200, 200), np.uint8)
+
+    @staticmethod
+    def _unpack(packed: np.ndarray, channels: int = 18) -> np.ndarray:
+        """int32 bit-packed masks -> (C, 200, 200) uint8 (the reference's
+        numba codec, pipeline_utils.py:10-49, in plain numpy)."""
+        if packed.dtype == np.uint8 and packed.ndim == 3:
+            return packed[:channels]
+        bits = ((packed[None] >> np.arange(channels)[:, None, None]) & 1)
+        return bits.astype(np.uint8)
+
+    # ------------------------------------------------------------------
+    def __getitem__(self, idx: int) -> Dict:
+        info = self.infos[idx]
+        token = info["token"]
+        n_cam = len(self.view_order)
+
+        intrinsics = np.zeros((n_cam, 4, 4))
+        cam2lidar = np.zeros((n_cam, 4, 4))
+        imgs = []
+        aug_ms = []
+        occ_K = np.zeros((n_cam, 3, 3), np.float32)
+        occ_T = np.tile(np.eye(4, dtype=np.float32), (n_cam, 1, 1))
+        for i, cam_name in enumerate(self.view_order):
+            cam = info["cams"][cam_name]
+            K = np.eye(4)
+            K[:3, :3] = np.asarray(cam["cam_intrinsic"] if "cam_intrinsic" in cam
+                                   else cam["camera_intrinsics"])
+            intrinsics[i] = K
+            T = np.eye(4)
+            rot = np.asarray(cam["sensor2lidar_rotation"])
+            if rot.shape == (4,):
+                rot = _quat_to_rot(rot)
+            T[:3, :3] = rot
+            T[:3, 3] = np.asarray(cam["sensor2lidar_translation"])
+            cam2lidar[i] = T
+            occ_K[i] = K[:3, :3]
+            occ_T[i] = T
+            if self.load_images:
+                from PIL import Image
+
+                path = cam["data_path"]
+                full = path if os.path.isabs(path) else os.path.join(
+                    self.dataset_root, path)
+                with Image.open(full) as im:
+                    iw, ih = im.size
+                imgs.append(self._load_image(path))
+                aug_ms.append(self._aug_matrix(iw, ih))
+            else:
+                aug_ms.append(self._aug_matrix(1600, 900))
+        lidar2camera = np.linalg.inv(cam2lidar)
+        lidar2image = intrinsics @ lidar2camera
+
+        boxes = np.asarray(info.get("gt_boxes", np.zeros((0, 7))), np.float32)
+        names = info.get("gt_names", [])
+        labels = np.array([
+            self.object_classes.index(n) if n in self.object_classes else -1
+            for n in names], np.int64)
+        if "visibility" in info and self.visibility_threshold > 0:
+            vis = np.asarray(info["visibility"], np.int64)
+            keep = vis >= self.visibility_threshold
+            boxes, labels = boxes[keep[: len(boxes)]], labels[keep[: len(labels)]]
+        keep = labels >= 0
+        boxes, labels = boxes[keep], labels[keep]
+
+        sample = {
+            "token": token,
+            "location": info.get("location", "unknown"),
+            "description": info.get("description", ""),
+            "timeofday": info.get("timeofday", ""),
+            "gt_bboxes_3d": boxes[:, :7],
+            "gt_labels_3d": labels,
+            "gt_masks_bev": self._bev_masks(token),
+            "camera_intrinsics": intrinsics.astype(np.float32),
+            "lidar2camera": lidar2camera.astype(np.float32),
+            "camera2lidar": cam2lidar.astype(np.float32),
+            "lidar2image": lidar2image.astype(np.float32),
+            "img_aug_matrix": np.stack(aug_ms).astype(np.float32),
+        }
+        if self.load_images:
+            sample["img"] = np.stack(imgs)
+
+        if self.occ_proj_root:  # cached 6-view occ panorama (png or npy)
+            for ext, loader in ((".npy", np.load), (".png", None)):
+                p = os.path.join(self.occ_proj_root, token + ext)
+                if os.path.exists(p):
+                    if loader:
+                        sample["occ_proj_image"] = loader(p).astype(np.float32)
+                    else:
+                        from PIL import Image
+
+                        sample["occ_proj_image"] = (
+                            np.asarray(Image.open(p), np.float32) / 255.0)
+                    break
+        if self.occ3d_root:  # Occ3D GT volume for device-side ORS
+            p = os.path.join(self.occ3d_root, token, "labels.npz")
+            if os.path.exists(p):
+                sample["occ_labels"] = np.load(p)["semantics"].astype(np.uint8)
+                sample["occ_cam_K"] = occ_K
+                sample["occ_cam_T"] = occ_T
+        if self.map_vec_root:  # MapTR-style vectorized map polylines
+            p = os.path.join(self.map_vec_root, token + ".pkl")
+            if os.path.exists(p):
+                with open(p, "rb") as f:
+                    vec, cls = pickle.load(f)
+                vec = np.asarray(vec, np.float32)
+                if vec.ndim == 3 and vec.shape[-1] == 2:  # append z=0
+                    vec = np.concatenate(
+                        [vec, np.zeros((*vec.shape[:2], 1), np.float32)], -1)
+                sample["map_vec_boxes"] = vec
+                sample["map_vec_classes"] = np.asarray(cls, np.int64)
+        return sample

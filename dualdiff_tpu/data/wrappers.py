@@ -1,0 +1,79 @@
+"""Dataset wrappers (reference ``magicdrive/dataset/dataset_wrapper.py``)."""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Dict, Sequence
+
+import numpy as np
+
+__all__ = ["ListSetWrapper", "FolderSetWrapper", "build_dataset"]
+
+
+class ListSetWrapper:
+    """Index-subset view (reference :9-18)."""
+
+    def __init__(self, dataset, indices: Sequence[int]):
+        self.dataset = dataset
+        self.indices = list(indices)
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, i):
+        return self.dataset[self.indices[i]]
+
+
+class FolderSetWrapper:
+    """Demo samples stored one-pickle-per-item (reference :21-56)."""
+
+    def __init__(self, folder: str):
+        self.files = sorted(
+            os.path.join(folder, f) for f in os.listdir(folder)
+            if f.endswith((".pkl", ".npz")))
+
+    def __len__(self):
+        return len(self.files)
+
+    def __getitem__(self, i) -> Dict:
+        path = self.files[i]
+        if path.endswith(".npz"):
+            return dict(np.load(path, allow_pickle=True))
+        with open(path, "rb") as f:
+            return pickle.load(f)
+
+
+def build_dataset(cfg, split: str = "train", load_images: bool = True):
+    """Config-driven dataset construction (reference build_dataset via the
+    mmdet3d registry, ``tools/train.py:82-91``)."""
+    d = cfg.dataset
+    kind = str(d.dataset_type)
+    if kind == "SyntheticNuScenes":
+        from .synthetic import SyntheticNuScenes
+
+        return SyntheticNuScenes(
+            num_samples=int(d.get("num_samples", 64)),
+            image_size=tuple(d.image_size),
+            seed=int(cfg.seed) + (0 if split == "train" else 1),
+        )
+    from .nuscenes import NuScenesDataset
+
+    split_cfg = d.data[split]
+    cache = d.dataset_cache_file
+    cache_file = cache[0 if split == "train" else 1] \
+        if isinstance(cache, list) else cache
+    return NuScenesDataset(
+        ann_file=str(split_cfg.ann_file),
+        dataset_root=str(d.dataset_root),
+        object_classes=list(d.object_classes),
+        image_size=tuple(d.image_size),
+        resize_ratio=float(d.augment2d.resize[0][0]),
+        view_order=list(d.view_order),
+        cache_file=cache_file,
+        occ_proj_root=d.get("occ_proj_root"),
+        occ3d_root=d.get("occ3d_root"),
+        map_vec_root=d.get("map_vec_root"),
+        visibility_threshold=int(d.visibility_threshold),
+        load_images=load_images,
+    )

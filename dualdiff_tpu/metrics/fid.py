@@ -1,0 +1,204 @@
+"""FID: InceptionV3 (pool3) features in Flax + Frechet distance.
+
+TPU-native port of the reference's FID stack (reference
+``tools/fid_score.py`` + ``magicdrive/misc/inception.py``): activations are
+computed on-device in batches; the Frechet distance (with the scipy sqrtm
+fallback semantics) runs on host.  Inception weights load through the
+importer from the standard ``pt_inception-2015-12-05`` port when the asset
+is present; a documented fallback extractor (VAE-encoder features) keeps the
+metric pipeline runnable end-to-end offline (relative comparisons only — not
+comparable to published FID numbers).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterable, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["InceptionV3", "frechet_distance", "compute_statistics",
+           "fid_from_activations"]
+
+Dtype = Any
+
+
+class BasicConv(nn.Module):
+    out: int
+    kernel: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: Any = 0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.out, self.kernel, strides=self.strides,
+                    padding=self.padding, use_bias=False, dtype=self.dtype,
+                    name="conv")(x)
+        x = nn.BatchNorm(use_running_average=True, epsilon=1e-3,
+                         use_scale=False, use_bias=True, dtype=jnp.float32,
+                         name="bn")(x)
+        return nn.relu(x)
+
+
+def _pool(x, size, stride, pad=0):
+    if pad:
+        x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+                    constant_values=-jnp.inf)
+    return nn.max_pool(x, (size, size), (stride, stride))
+
+
+def _avgpool(x, size, stride, pad=0):
+    if pad:
+        x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    return nn.avg_pool(x, (size, size), (stride, stride))
+
+
+class InceptionA(nn.Module):
+    pool_features: int
+
+    @nn.compact
+    def __call__(self, x):
+        b1 = BasicConv(64, (1, 1), name="branch1x1")(x)
+        b5 = BasicConv(48, (1, 1), name="branch5x5_1")(x)
+        b5 = BasicConv(64, (5, 5), padding=2, name="branch5x5_2")(b5)
+        b3 = BasicConv(64, (1, 1), name="branch3x3dbl_1")(x)
+        b3 = BasicConv(96, (3, 3), padding=1, name="branch3x3dbl_2")(b3)
+        b3 = BasicConv(96, (3, 3), padding=1, name="branch3x3dbl_3")(b3)
+        bp = _avgpool(x, 3, 1, 1)
+        bp = BasicConv(self.pool_features, (1, 1), name="branch_pool")(bp)
+        return jnp.concatenate([b1, b5, b3, bp], -1)
+
+
+class InceptionB(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        b3 = BasicConv(384, (3, 3), strides=(2, 2), name="branch3x3")(x)
+        bd = BasicConv(64, (1, 1), name="branch3x3dbl_1")(x)
+        bd = BasicConv(96, (3, 3), padding=1, name="branch3x3dbl_2")(bd)
+        bd = BasicConv(96, (3, 3), strides=(2, 2), name="branch3x3dbl_3")(bd)
+        bp = _pool(x, 3, 2)
+        return jnp.concatenate([b3, bd, bp], -1)
+
+
+class InceptionC(nn.Module):
+    c7: int
+
+    @nn.compact
+    def __call__(self, x):
+        c7 = self.c7
+        b1 = BasicConv(192, (1, 1), name="branch1x1")(x)
+        b7 = BasicConv(c7, (1, 1), name="branch7x7_1")(x)
+        b7 = BasicConv(c7, (1, 7), padding=((0, 0), (3, 3)), name="branch7x7_2")(b7)
+        b7 = BasicConv(192, (7, 1), padding=((3, 3), (0, 0)), name="branch7x7_3")(b7)
+        bd = BasicConv(c7, (1, 1), name="branch7x7dbl_1")(x)
+        bd = BasicConv(c7, (7, 1), padding=((3, 3), (0, 0)), name="branch7x7dbl_2")(bd)
+        bd = BasicConv(c7, (1, 7), padding=((0, 0), (3, 3)), name="branch7x7dbl_3")(bd)
+        bd = BasicConv(c7, (7, 1), padding=((3, 3), (0, 0)), name="branch7x7dbl_4")(bd)
+        bd = BasicConv(192, (1, 7), padding=((0, 0), (3, 3)), name="branch7x7dbl_5")(bd)
+        bp = _avgpool(x, 3, 1, 1)
+        bp = BasicConv(192, (1, 1), name="branch_pool")(bp)
+        return jnp.concatenate([b1, b7, bd, bp], -1)
+
+
+class InceptionD(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        b3 = BasicConv(192, (1, 1), name="branch3x3_1")(x)
+        b3 = BasicConv(320, (3, 3), strides=(2, 2), name="branch3x3_2")(b3)
+        b7 = BasicConv(192, (1, 1), name="branch7x7x3_1")(x)
+        b7 = BasicConv(192, (1, 7), padding=((0, 0), (3, 3)), name="branch7x7x3_2")(b7)
+        b7 = BasicConv(192, (7, 1), padding=((3, 3), (0, 0)), name="branch7x7x3_3")(b7)
+        b7 = BasicConv(192, (3, 3), strides=(2, 2), name="branch7x7x3_4")(b7)
+        bp = _pool(x, 3, 2)
+        return jnp.concatenate([b3, b7, bp], -1)
+
+
+class InceptionE(nn.Module):
+    use_max_pool: bool = False  # FID variant: last block uses max pool
+
+    @nn.compact
+    def __call__(self, x):
+        b1 = BasicConv(320, (1, 1), name="branch1x1")(x)
+        b3 = BasicConv(384, (1, 1), name="branch3x3_1")(x)
+        b3a = BasicConv(384, (1, 3), padding=((0, 0), (1, 1)), name="branch3x3_2a")(b3)
+        b3b = BasicConv(384, (3, 1), padding=((1, 1), (0, 0)), name="branch3x3_2b")(b3)
+        b3 = jnp.concatenate([b3a, b3b], -1)
+        bd = BasicConv(448, (1, 1), name="branch3x3dbl_1")(x)
+        bd = BasicConv(384, (3, 3), padding=1, name="branch3x3dbl_2")(bd)
+        bda = BasicConv(384, (1, 3), padding=((0, 0), (1, 1)), name="branch3x3dbl_3a")(bd)
+        bdb = BasicConv(384, (3, 1), padding=((1, 1), (0, 0)), name="branch3x3dbl_3b")(bd)
+        bd = jnp.concatenate([bda, bdb], -1)
+        if self.use_max_pool:
+            bp = _pool(x, 3, 1, 1)
+        else:
+            bp = _avgpool(x, 3, 1, 1)
+        bp = BasicConv(192, (1, 1), name="branch_pool")(bp)
+        return jnp.concatenate([b1, b3, bd, bp], -1)
+
+
+class InceptionV3(nn.Module):
+    """FID InceptionV3 (pool3, 2048-d).  Input: (B, 299, 299, 3) in [0, 1]
+    (internally rescaled to [-1, 1] like the TF port)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = x * 2.0 - 1.0
+        x = BasicConv(32, (3, 3), strides=(2, 2), name="Conv2d_1a_3x3")(x)
+        x = BasicConv(32, (3, 3), name="Conv2d_2a_3x3")(x)
+        x = BasicConv(64, (3, 3), padding=1, name="Conv2d_2b_3x3")(x)
+        x = _pool(x, 3, 2)
+        x = BasicConv(80, (1, 1), name="Conv2d_3b_1x1")(x)
+        x = BasicConv(192, (3, 3), name="Conv2d_4a_3x3")(x)
+        x = _pool(x, 3, 2)
+        x = InceptionA(32, name="Mixed_5b")(x)
+        x = InceptionA(64, name="Mixed_5c")(x)
+        x = InceptionA(64, name="Mixed_5d")(x)
+        x = InceptionB(name="Mixed_6a")(x)
+        x = InceptionC(128, name="Mixed_6b")(x)
+        x = InceptionC(160, name="Mixed_6c")(x)
+        x = InceptionC(160, name="Mixed_6d")(x)
+        x = InceptionC(192, name="Mixed_6e")(x)
+        x = InceptionD(name="Mixed_7a")(x)
+        x = InceptionE(name="Mixed_7b")(x)
+        x = InceptionE(use_max_pool=True, name="Mixed_7c")(x)
+        x = jnp.mean(x, axis=(1, 2))  # adaptive avg pool -> (B, 2048)
+        return x
+
+
+# ---------------------------------------------------------------- metric --
+
+def compute_statistics(acts: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    mu = acts.mean(0)
+    sigma = np.cov(acts, rowvar=False)
+    return mu, sigma
+
+
+def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
+    """Frechet distance between gaussians (reference fid_score.py:159-213
+    semantics incl. the eps-regularized sqrtm fallback)."""
+    from scipy import linalg
+
+    mu1, mu2 = np.atleast_1d(mu1), np.atleast_1d(mu2)
+    sigma1, sigma2 = np.atleast_2d(sigma1), np.atleast_2d(sigma2)
+    diff = mu1 - mu2
+    covmean, _ = linalg.sqrtm(sigma1.dot(sigma2), disp=False)
+    if not np.isfinite(covmean).all():
+        offset = np.eye(sigma1.shape[0]) * eps
+        covmean = linalg.sqrtm(
+            (sigma1 + offset).dot(sigma2 + offset))
+    if np.iscomplexobj(covmean):
+        if not np.allclose(np.diagonal(covmean).imag, 0, atol=1e-3):
+            raise ValueError("Imaginary component in sqrtm")
+        covmean = covmean.real
+    return float(diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2)
+                 - 2 * np.trace(covmean))
+
+
+def fid_from_activations(acts1: np.ndarray, acts2: np.ndarray) -> float:
+    return frechet_distance(*compute_statistics(acts1),
+                            *compute_statistics(acts2))

@@ -68,6 +68,8 @@ class BEVControlNet(nn.Module):
     bbox_minmax_normalize: bool = False
     bbox_proj_dims: Sequence[int] = (768, 512, 512, 768)
     bbox_class_token_dim: int = 768
+    # IP-Adapter-style decoupled box cross-attn (reference box_adapter.py)
+    use_box_adapter: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -133,7 +135,7 @@ class BEVControlNet(nn.Module):
             bb = bb.reshape(B * n_box_dim, *bb.shape[2:])
             cls = cls.reshape(B * n_box_dim, -1)
             msk = msk.reshape(B * n_box_dim, -1)
-            bbox_emb = BBoxEmbedder(
+            out = BBoxEmbedder(
                 n_classes=self.bbox_n_classes,
                 class_token_dim=self.bbox_class_token_dim,
                 proj_dims=self.bbox_proj_dims,
@@ -142,13 +144,20 @@ class BEVControlNet(nn.Module):
                 minmax_normalize=self.bbox_minmax_normalize,
                 dtype=self.dtype,
                 name="bbox_embedder",
-            )(bb, cls, msk)  # (B*n_box_dim, max_len, proj_dims[-1])
+            )(bb, cls, msk, return_cls=self.use_box_adapter)
+            bbox_emb, cls_emb = out if self.use_box_adapter else (out, None)
             bbox_emb = bbox_emb.reshape(B, n_box_dim, *bbox_emb.shape[1:])
+            if cls_emb is not None:
+                cls_emb = cls_emb.reshape(B, n_box_dim, *cls_emb.shape[1:])
             if n_box_dim != N:  # view-shared boxes: repeat per camera
                 bbox_emb = jnp.broadcast_to(
                     bbox_emb, (B, N, *bbox_emb.shape[2:]))
+                if cls_emb is not None:
+                    cls_emb = jnp.broadcast_to(
+                        cls_emb, (B, N, *cls_emb.shape[2:]))
         else:
             bbox_emb = None
+            cls_emb = None
 
         # --- 1. time --------------------------------------------------------
         ts = timesteps.reshape(-1)  # (B,) or (B*N,)
@@ -161,11 +170,21 @@ class BEVControlNet(nn.Module):
         # --- flatten (b n) ---------------------------------------------------
         x = sample.reshape(B * N, *sample.shape[2:]).astype(self.dtype)
         states = with_cam.reshape(B * N, *with_cam.shape[2:])
+        num_box_tokens = 0
         if bbox_emb is not None:
             bbox_flat = bbox_emb.reshape(B * N, *bbox_emb.shape[2:])
+            num_box_tokens = bbox_flat.shape[1]
             kv = jnp.concatenate([states, bbox_flat.astype(states.dtype)], axis=1)
         else:
             kv = states
+        # internal KV for the encoder blocks: + cls tokens when the adapter
+        # is on (reference unet_addon_rawbox.py:1007,1066-1069 — the returned
+        # UNet KV never carries cls tokens)
+        kv_internal = kv
+        if cls_emb is not None:
+            cls_flat = cls_emb.reshape(B * N, *cls_emb.shape[2:])
+            kv_internal = jnp.concatenate(
+                [kv, cls_flat.astype(kv.dtype)], axis=1)
 
         # --- 2. pre-process ---------------------------------------------------
         x = nn.Conv(chs[0], (3, 3), padding=1, dtype=self.dtype, name="conv_in")(x)
@@ -173,7 +192,8 @@ class BEVControlNet(nn.Module):
             cond = BEVMapConditionEmbedder(
                 conditioning_embedding_channels=chs[0],
                 block_out_channels=self.conditioning_embedding_out_channels,
-                n_cam=N, dtype=self.dtype, name="controlnet_cond_embedding",
+                n_cam=N, target_hw=tuple(sample.shape[2:4]),
+                dtype=self.dtype, name="controlnet_cond_embedding",
             )(controlnet_cond)
         elif self.cond_embedder == "occ_image":
             cond = OccImageConditionEmbedder(
@@ -200,6 +220,8 @@ class BEVControlNet(nn.Module):
         # --- 3/4. encoder ------------------------------------------------------
         res_stack = [x]
         tx = dict(heads=self.heads, cross_attention_dim=self.cross_attention_dim,
+                  box_adapter=self.use_box_adapter,
+                  num_box_tokens=num_box_tokens if self.use_box_adapter else 0,
                   dtype=self.dtype)
         for i, ch in enumerate(chs):
             is_final = i == len(chs) - 1
@@ -207,7 +229,7 @@ class BEVControlNet(nn.Module):
                 x, res = CrossAttnDownBlock2D(
                     ch, num_layers=self.layers_per_block, add_downsample=True,
                     **tx, name=f"down_blocks_{i}",
-                )(x, emb, kv, n_cam=N)
+                )(x, emb, kv_internal, n_cam=N)
             else:
                 x, res = DownBlock2D(
                     ch, num_layers=self.layers_per_block, add_downsample=False,
@@ -215,7 +237,7 @@ class BEVControlNet(nn.Module):
                 )(x, emb)
             res_stack += res
         x = UNetMidBlock2DCrossAttn(chs[-1], **tx, name="mid_block")(
-            x, emb, kv, n_cam=N)
+            x, emb, kv_internal, n_cam=N)
 
         # --- 5. zero-conv heads --------------------------------------------------
         downs = []

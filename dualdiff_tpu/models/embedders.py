@@ -68,6 +68,7 @@ class BBoxEmbedder(nn.Module):
         bboxes: jnp.ndarray,  # (B', N, n_points, 3)
         classes: jnp.ndarray,  # (B', N) int32, -1 for padding
         masks: Optional[jnp.ndarray] = None,  # (B', N) bool/float
+        return_cls: bool = False,
     ) -> jnp.ndarray:
         b, n = classes.shape
         if masks is None:
@@ -96,7 +97,12 @@ class BBoxEmbedder(nn.Module):
         pos = pos * masks + null_pos[None, None] * (1.0 - masks)
         cls = class_tokens[jnp.clip(classes, 0, self.n_classes - 1)]
         cls = cls * masks + null_cls[None, None] * (1.0 - masks)
-        return self._forward_feature(pos.astype(self.dtype), cls.astype(self.dtype))
+        emb = self._forward_feature(pos.astype(self.dtype),
+                                    cls.astype(self.dtype))
+        if return_cls:  # raw class tokens for the box adapter (reference
+            # bbox_embedder.py:199-203)
+            return emb, cls.astype(emb.dtype)
+        return emb
 
     def _forward_feature(self, pos: jnp.ndarray, cls: jnp.ndarray) -> jnp.ndarray:
         emb = nn.Dense(self.proj_dims[0], dtype=self.dtype, name="bbox_proj")(pos)
@@ -121,6 +127,10 @@ class BEVMapConditionEmbedder(nn.Module):
     conditioning_embedding_channels: int = 320
     block_out_channels: Sequence[int] = (16, 32, 96, 256)
     n_cam: int = 6
+    # conv-stack geometry is fixed for 200x200 -> 28x50 (224x400 latents,
+    # reference map_embedder.py:27-29); other latent sizes get a bilinear
+    # feature resize appended.
+    target_hw: Optional[Tuple[int, int]] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -148,6 +158,10 @@ class BEVMapConditionEmbedder(nn.Module):
                     kernel_init=nn.initializers.zeros,
                     bias_init=nn.initializers.zeros,
                     dtype=self.dtype, name="conv_out")(x)
+        if self.target_hw is not None and x.shape[1:3] != tuple(self.target_hw):
+            import jax
+            x = jax.image.resize(
+                x, (x.shape[0], *self.target_hw, x.shape[-1]), "bilinear")
         # repeat per camera: (B, h, w, C) -> (B*n_cam, h, w, C)
         x = jnp.repeat(x, self.n_cam, axis=0)
         return x

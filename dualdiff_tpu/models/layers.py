@@ -103,12 +103,20 @@ class Upsample2D(nn.Module):
 
 
 class Attention(nn.Module):
-    """Multi-head attention with separate q/kv dims (diffusers ``Attention``)."""
+    """Multi-head attention with separate q/kv dims (diffusers ``Attention``).
+
+    With ``box_adapter`` on (IP-Adapter-style decoupled cross-attn, reference
+    ``box_adapter.py:177-396``): KV splits into [txt | box | cls] token
+    groups; box K/V are enriched by attending to cls K/V, and the box
+    attention output is added (scaled) to the text attention output."""
 
     query_dim: int
     heads: int = 8
     kv_dim: Optional[int] = None
     out_bias: bool = True
+    box_adapter: bool = False
+    num_box_tokens: int = 0
+    box_scale: float = 1.0
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -120,16 +128,44 @@ class Attention(nn.Module):
         kv = hidden_states if encoder_hidden_states is None else encoder_hidden_states
         inner = self.query_dim
         head_dim = inner // self.heads
+        b, lq = hidden_states.shape[:2]
+
+        def heads_split(t):
+            return t.reshape(b, -1, self.heads, head_dim)
+
+        use_adapter = (self.box_adapter and self.num_box_tokens > 0
+                       and encoder_hidden_states is not None)
+        if use_adapter:
+            n = self.num_box_tokens
+            end = kv.shape[1] - n
+            kv, cls_tok = kv[:, :end], kv[:, end:]
+            end = kv.shape[1] - n
+            kv, box_tok = kv[:, :end], kv[:, end:]
+
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(hidden_states)
         k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(kv)
         v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(kv)
-        b, lq = q.shape[:2]
-        lk = k.shape[1]
-        q = q.reshape(b, lq, self.heads, head_dim)
-        k = k.reshape(b, lk, self.heads, head_dim)
-        v = v.reshape(b, lk, self.heads, head_dim)
-        out = multi_head_attention(q, k, v)
+        q = heads_split(q)
+        out = multi_head_attention(q, heads_split(k), heads_split(v))
         out = out.reshape(b, lq, inner)
+
+        if use_adapter:
+            bk = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                          name="to_k_box")(box_tok)
+            bv = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                          name="to_v_box")(box_tok)
+            ck = heads_split(nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                                      name="to_k_cls")(cls_tok))
+            cv = heads_split(nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                                      name="to_v_cls")(cls_tok))
+            bk = heads_split(bk)
+            bv = heads_split(bv)
+            # enrich box K/V by attending to class K/V (reference :357-365)
+            bk = bk + multi_head_attention(bk, ck, cv)
+            bv = bv + multi_head_attention(bv, ck, cv)
+            box_out = multi_head_attention(q, bk, bv).reshape(b, lq, inner)
+            out = out + self.box_scale * box_out
+
         return nn.Dense(inner, use_bias=self.out_bias, dtype=self.dtype,
                         name="to_out_0")(out)
 
@@ -185,6 +221,9 @@ class BasicTransformerBlock(nn.Module):
     st_attn: bool = False
     temporal: bool = False
     num_frames: int = 1
+    # box adapter (controlnet-only, reference box_adapter.py:414-444)
+    box_adapter: bool = False
+    num_box_tokens: int = 0
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -208,9 +247,10 @@ class BasicTransformerBlock(nn.Module):
 
         # 2. text cross attention
         norm_h = _ln("norm2")(hidden_states).astype(self.dtype)
-        attn_out = Attention(d, self.heads, dtype=self.dtype, name="attn2")(
-            norm_h, encoder_hidden_states.astype(self.dtype)
-        )
+        attn_out = Attention(
+            d, self.heads, box_adapter=self.box_adapter,
+            num_box_tokens=self.num_box_tokens, dtype=self.dtype,
+            name="attn2")(norm_h, encoder_hidden_states.astype(self.dtype))
         hidden_states = hidden_states + attn_out
 
         # 2.5 multiview cross attention (attn4)
@@ -310,6 +350,8 @@ class Transformer2DModel(nn.Module):
     st_attn: bool = False
     temporal: bool = False
     num_frames: int = 1
+    box_adapter: bool = False
+    num_box_tokens: int = 0
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -337,6 +379,8 @@ class Transformer2DModel(nn.Module):
                 st_attn=self.st_attn,
                 temporal=self.temporal,
                 num_frames=self.num_frames,
+                box_adapter=self.box_adapter,
+                num_box_tokens=self.num_box_tokens,
                 dtype=self.dtype,
                 name=f"transformer_blocks_{i}",
             )(hs, encoder_hidden_states, n_cam=n_cam)

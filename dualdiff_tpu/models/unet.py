@@ -43,6 +43,8 @@ class CrossAttnDownBlock2D(nn.Module):
     st_attn: bool = False
     temporal: bool = False
     num_frames: int = 1
+    box_adapter: bool = False
+    num_box_tokens: int = 0
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -59,7 +61,9 @@ class CrossAttnDownBlock2D(nn.Module):
                 neighboring_attn_type=self.neighboring_attn_type,
                 zero_module_type=self.zero_module_type,
                 st_attn=self.st_attn, temporal=self.temporal,
-                num_frames=self.num_frames, dtype=self.dtype,
+                num_frames=self.num_frames,
+                box_adapter=self.box_adapter,
+                num_box_tokens=self.num_box_tokens, dtype=self.dtype,
                 name=f"attentions_{i}",
             )(x, encoder_hidden_states, n_cam=n_cam)
             res.append(x)
@@ -101,6 +105,8 @@ class UNetMidBlock2DCrossAttn(nn.Module):
     st_attn: bool = False
     temporal: bool = False
     num_frames: int = 1
+    box_adapter: bool = False
+    num_box_tokens: int = 0
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -114,7 +120,9 @@ class UNetMidBlock2DCrossAttn(nn.Module):
             neighboring_attn_type=self.neighboring_attn_type,
             zero_module_type=self.zero_module_type,
             st_attn=self.st_attn, temporal=self.temporal,
-            num_frames=self.num_frames, dtype=self.dtype,
+            num_frames=self.num_frames,
+            box_adapter=self.box_adapter,
+            num_box_tokens=self.num_box_tokens, dtype=self.dtype,
             name="attentions_0",
         )(x, encoder_hidden_states, n_cam=n_cam)
         x = ResnetBlock2D(self.channels, dtype=self.dtype, name="resnets_1")(x, temb)
@@ -154,6 +162,8 @@ class CrossAttnUpBlock2D(nn.Module):
     st_attn: bool = False
     temporal: bool = False
     num_frames: int = 1
+    box_adapter: bool = False
+    num_box_tokens: int = 0
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -171,7 +181,9 @@ class CrossAttnUpBlock2D(nn.Module):
                 neighboring_attn_type=self.neighboring_attn_type,
                 zero_module_type=self.zero_module_type,
                 st_attn=self.st_attn, temporal=self.temporal,
-                num_frames=self.num_frames, dtype=self.dtype,
+                num_frames=self.num_frames,
+                box_adapter=self.box_adapter,
+                num_box_tokens=self.num_box_tokens, dtype=self.dtype,
                 name=f"attentions_{i}",
             )(x, encoder_hidden_states, n_cam=n_cam)
         if self.add_upsample:

@@ -1,4 +1,4 @@
-"""Attention ops: XLA einsum path + Pallas TPU flash-attention kernel.
+"""Attention ops: XLA einsum path + Pallas TPU flash-attention kernels.
 
 TPU-native replacement for the xformers ``memory_efficient_attention`` the
 reference calls in every attention block (reference
@@ -7,9 +7,9 @@ reference calls in every attention block (reference
 
 * ``mha_einsum`` — plain jnp, always correct, good for short sequences
   (cross-attn over <=300 text/box tokens) where XLA's fusion already wins.
-* ``flash_attention`` — Pallas kernel with online softmax; never materializes
-  the (Lq, Lk) score matrix in HBM.  Used for the latent self/cross-view
-  attention at high resolutions.
+* ``flash_attention`` — Pallas kernels with online softmax and a custom VJP
+  (backward recomputes scores per block); the (Lq, Lk) score matrix never
+  touches HBM in either direction.
 
 ``multi_head_attention`` dispatches between them on shape and platform.
 All functions take ``q, k, v`` shaped ``(B, L, num_heads, head_dim)``.
@@ -45,9 +45,22 @@ def mha_einsum(
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_k, kv_len):
-    """One (batch*head, q-block) program; loops over K blocks with online
-    softmax.  Refs are (block_q, d) for q/o and (padded_kv, d) for k/v."""
+def _tracing_on_tpu() -> bool:
+    """True when ops traced right now will run on TPU (honors the
+    ``jax.default_device`` override used for cheap CPU-side param init)."""
+    dd = jax.config.jax_default_device
+    if dd is not None:
+        return getattr(dd, "platform", None) == "tpu"
+    return jax.default_backend() == "tpu"
+
+
+def _interpret() -> bool:
+    return not _tracing_on_tpu()
+
+
+# ------------------------------------------------------------------ fwd --
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, kv_len):
     q = q_ref[0].astype(jnp.float32) * scale
     block_q, d = q.shape
     num_kb = k_ref.shape[1] // block_k
@@ -61,7 +74,6 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_k, kv_len):
         k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
         v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
         s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
-        # mask out padded kv positions
         kpos = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(kpos < kv_len, s, _NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
@@ -73,11 +85,67 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_k, kv_len):
 
     m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
+    lse = m + jnp.log(l)  # (block_q, 1)
+    lse_ref[0] = jnp.broadcast_to(lse, (lse.shape[0], 128))
 
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+                   *, scale, block_k, kv_len):
+    q = q_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, :, 0:1].astype(jnp.float32)
+    delta = delta_ref[0, :, 0:1].astype(jnp.float32)
+    block_q, d = q.shape
+    num_kb = k_ref.shape[1] // block_k
+
+    def body(kb, dq):
+        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32) * scale
+        kpos = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(kpos < kv_len, s, _NEG_INF)
+        p = jnp.exp(s - lse)
+        dp = jnp.dot(do, v_blk.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        return dq + jnp.dot(ds, k_blk, preferred_element_type=jnp.float32)
+
+    dq = jax.lax.fori_loop(0, num_kb, body, jnp.zeros((block_q, d), jnp.float32))
+    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, *, scale, block_q, q_len):
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    block_k, d = k.shape
+    num_qb = q_ref.shape[1] // block_q
+
+    def body(qb, carry):
+        dk, dv = carry
+        q_blk = q_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        do_blk = do_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, pl.ds(qb * block_q, block_q), 0:1].astype(jnp.float32)
+        delta = delta_ref[0, pl.ds(qb * block_q, block_q), 0:1].astype(jnp.float32)
+        s = jnp.dot(q_blk, k.T, preferred_element_type=jnp.float32) * scale
+        qpos = qb * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        s = jnp.where(qpos < q_len, s, _NEG_INF)
+        p = jnp.exp(s - lse)  # padded q rows: lse=0, s=-inf -> p=0
+        dv = dv + jnp.dot(p.T, do_blk, preferred_element_type=jnp.float32)
+        dp = jnp.dot(do_blk, v.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        dk = dk + jnp.dot(ds.T, q_blk, preferred_element_type=jnp.float32)
+        return dk, dv
+
+    z = jnp.zeros((block_k, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, num_qb, body, (z, z))
+    dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+# ------------------------------------------------------------ wrappers --
 
 def _pad_to(x: jnp.ndarray, axis: int, mult: int) -> jnp.ndarray:
-    size = x.shape[axis]
-    pad = (-size) % mult
+    pad = (-x.shape[axis]) % mult
     if pad == 0:
         return x
     widths = [(0, 0)] * x.ndim
@@ -85,13 +153,115 @@ def _pad_to(x: jnp.ndarray, axis: int, mult: int) -> jnp.ndarray:
     return jnp.pad(x, widths)
 
 
-def _tracing_on_tpu() -> bool:
-    """True when ops traced right now will run on TPU (honors the
-    ``jax.default_device`` override used for cheap CPU-side param init)."""
-    dd = jax.config.jax_default_device
-    if dd is not None:
-        return getattr(dd, "platform", None) == "tpu"
-    return jax.default_backend() == "tpu"
+def _fwd_core(qb, kb, vb, scale, block_q, block_k, lk):
+    bh, lq_p, d_p = qb.shape
+    lk_p = kb.shape[1]
+    grid = (bh, lq_p // block_q)
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, block_k=block_k, kv_len=lk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d_p), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk_p, d_p), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk_p, d_p), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, d_p), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 128), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, lq_p, d_p), qb.dtype),
+            jax.ShapeDtypeStruct((bh, lq_p, 128), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )(qb, kb, vb)
+    return out, lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_padded(qb, kb, vb, scale, lens, blocks):
+    out, _ = _fwd_core(qb, kb, vb, scale, blocks[0], blocks[1], lens[1])
+    return out
+
+
+def _flash_padded_fwd(qb, kb, vb, scale, lens, blocks):
+    out, lse = _fwd_core(qb, kb, vb, scale, blocks[0], blocks[1], lens[1])
+    return out, (qb, kb, vb, out, lse)
+
+
+def _flash_padded_bwd(scale, lens, blocks, res, g):
+    qb, kb, vb, out, lse = res
+    lq, lk = lens
+    block_q, block_k = blocks
+    bh, lq_p, d_p = qb.shape
+    lk_p = kb.shape[1]
+    g = g.astype(jnp.float32)
+    delta = jnp.sum(g * out.astype(jnp.float32), axis=-1)  # (bh, lq_p)
+    delta = jnp.broadcast_to(delta[..., None], (*delta.shape, 128))
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, block_k=block_k,
+                          kv_len=lk),
+        grid=(bh, lq_p // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d_p), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk_p, d_p), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk_p, d_p), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d_p), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 128), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 128), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d_p), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, lq_p, d_p), qb.dtype),
+        interpret=_interpret(),
+    )(qb, kb, vb, g.astype(qb.dtype), lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale, block_q=block_q,
+                          q_len=lq),
+        grid=(bh, lk_p // block_k),
+        in_specs=[
+            pl.BlockSpec((1, lq_p, d_p), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d_p), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d_p), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lq_p, d_p), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lq_p, 128), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lq_p, 128), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_k, d_p), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d_p), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, lk_p, d_p), kb.dtype),
+            jax.ShapeDtypeStruct((bh, lk_p, d_p), vb.dtype),
+        ),
+        interpret=_interpret(),
+    )(qb, kb, vb, g.astype(qb.dtype), lse, delta)
+    return dq, dk, dv
+
+
+_flash_padded.defvjp(_flash_padded_fwd, _flash_padded_bwd)
 
 
 def flash_attention(
@@ -102,7 +272,8 @@ def flash_attention(
     block_q: int = 256,
     block_k: int = 256,
 ) -> jnp.ndarray:
-    """Pallas flash attention.  q,k,v: (B, L, H, Dh) -> (B, Lq, H, Dh)."""
+    """Pallas flash attention (fwd + custom-VJP bwd).
+    q,k,v: (B, L, H, Dh) -> (B, Lq, H, Dh)."""
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     b, lq, h, d = q.shape
@@ -110,36 +281,14 @@ def flash_attention(
     block_q = min(block_q, max(128, 1 << (lq - 1).bit_length()))
     block_k = min(block_k, max(128, 1 << (lk - 1).bit_length()))
 
-    # (B,L,H,D) -> (B*H, L, D), pad L to block multiple and D to lane width.
     def to_bh(x, block):
         x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, x.shape[1], d)
         x = _pad_to(x, 1, block)
-        x = _pad_to(x, 2, 128)
-        return x
+        return _pad_to(x, 2, 128)
 
     qb, kb, vb = to_bh(q, block_q), to_bh(k, block_k), to_bh(v, block_k)
-    lq_p, d_p = qb.shape[1], qb.shape[2]
-    lk_p = kb.shape[1]
-
-    grid = (b * h, lq_p // block_q)
-    out = pl.pallas_call(
-        functools.partial(
-            _flash_kernel, scale=scale, block_k=block_k, kv_len=lk
-        ),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, d_p), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lk_p, d_p), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lk_p, d_p), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, d_p), lambda i, j: (i, j, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, lq_p, d_p), q.dtype),
-        interpret=not _tracing_on_tpu(),  # CPU tests run interpreted
-    )(qb, kb, vb)
+    out = _flash_padded(qb, kb, vb, float(scale), (lq, lk),
+                        (block_q, block_k))
     out = out[:, :lq, :d].reshape(b, h, lq, d)
     return jnp.transpose(out, (0, 2, 1, 3))
 

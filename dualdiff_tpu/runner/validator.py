@@ -1,0 +1,69 @@
+"""Validation-during-training: generate samples, log image grids.
+
+Port of the reference ``BaseValidator`` (``magicdrive/runner/
+base_validator.py:46-216``): for each ``validation_index`` item, run the
+generation pipeline ``validation_times`` times and write 6-view image grids
+(generated vs GT) to TensorBoard.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..data.collate import collate_fn
+from ..pipeline.bev_controlnet import BEVControlNetPipeline
+from ..runner.train_state import merge_params
+
+log = logging.getLogger(__name__)
+
+
+def concat_6_views(imgs: np.ndarray, oneline: bool = False) -> np.ndarray:
+    """(6, H, W, 3) -> single grid image (reference img_utils.py:5-40)."""
+    if oneline:
+        return np.concatenate(list(imgs), axis=1)
+    top = np.concatenate(list(imgs[:3]), axis=1)
+    bottom = np.concatenate(list(imgs[3:]), axis=1)
+    return np.concatenate([top, bottom], axis=0)
+
+
+class Validator:
+    def __init__(self, cfg, val_dataset, tokenizer):
+        self.cfg = cfg
+        self.val_dataset = val_dataset
+        self.tokenizer = tokenizer
+
+    def validate(self, trainer, writer=None, step: int = 0,
+                 max_items: Optional[int] = None):
+        cfg = self.cfg
+        params = merge_params(jax.device_get(trainer.state["params"]),
+                              jax.device_get(trainer.frozen))
+        pipe = BEVControlNetPipeline(cfg, trainer.models, params,
+                                     trainer.schedule)
+        indices = list(cfg.runner.validation_index)[: max_items or None]
+        times = int(cfg.runner.validation_times)
+        outs = []
+        for idx in indices:
+            if idx >= len(self.val_dataset):
+                continue
+            sample = self.val_dataset[idx]
+            batch = collate_fn([sample], cfg, self.tokenizer, is_train=False,
+                               rng=np.random.default_rng(int(cfg.seed)))
+            for t in range(times):
+                rng = jax.random.PRNGKey(int(cfg.seed) + t)
+                imgs = np.asarray(pipe(batch, rng))  # (1, 6, H, W, 3)
+                grid = concat_6_views(imgs[0])
+                outs.append(grid)
+                if writer is not None:
+                    writer.add_image(
+                        f"val/{idx}_gen{t}", grid, step,
+                        dataformats="HWC")
+            if writer is not None and "img" in sample:
+                gt = (sample["img"] * 0.5 + 0.5).clip(0, 1)
+                writer.add_image(f"val/{idx}_gt", concat_6_views(gt), step,
+                                 dataformats="HWC")
+        log.info("validation at step %d: %d grids", step, len(outs))
+        return outs

@@ -1,0 +1,123 @@
+import os
+
+import numpy as np
+import pytest
+
+from dualdiff_tpu.data.collate import branch_specs_from_cfg, collate_fn
+from dualdiff_tpu.data.synthetic import SyntheticNuScenes
+from dualdiff_tpu.data.tokenizer import BOS, EOS, HashTokenizer, build_tokenizer
+from dualdiff_tpu.utils.config import load_config
+
+CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
+
+
+def test_hash_tokenizer_deterministic_and_shaped():
+    tok = HashTokenizer()
+    ids = tok(["a driving scene", "a driving scene", "another"])
+    assert ids.shape == (3, 77)
+    assert (ids[0] == ids[1]).all()
+    assert ids[0, 0] == BOS
+    assert EOS in ids[0]
+    # pad is EOS; pooled-token argmax finds the first EOS
+    first_eos = int(np.argmax(ids[0]))
+    assert ids[0, first_eos] == EOS
+
+
+def test_build_tokenizer_falls_back():
+    tok = build_tokenizer("/nonexistent/path")
+    assert isinstance(tok, HashTokenizer)
+
+
+def test_synthetic_schema():
+    ds = SyntheticNuScenes(num_samples=4)
+    s = ds[0]
+    assert s["img"].shape == (6, 224, 400, 3)
+    assert s["camera_intrinsics"].shape == (6, 4, 4)
+    assert s["occ_labels"].shape == (200, 200, 16)
+    assert s["gt_bboxes_3d"].shape[-1] == 7
+    # deterministic
+    s2 = SyntheticNuScenes(num_samples=4)[0]
+    np.testing.assert_array_equal(s["img"], s2["img"])
+    # lidar2image consistency
+    np.testing.assert_allclose(
+        s["lidar2image"], s["camera_intrinsics"] @ s["lidar2camera"],
+        rtol=1e-4, atol=1e-3)
+
+
+@pytest.fixture(scope="module")
+def ds():
+    return SyntheticNuScenes(num_samples=8)
+
+
+def _collate(cfg, ds, n=2, **kw):
+    tok = HashTokenizer()
+    rng = np.random.default_rng(0)
+    return collate_fn([ds[i] for i in range(n)], cfg, tok, rng=rng, **kw)
+
+
+def test_branch_specs_single_vs_dual():
+    cfg = load_config(CONFIG_DIR, overrides=["+exp=224x400"])
+    specs = branch_specs_from_cfg(cfg)
+    assert len(specs) == 1 and specs[0].cond_kind == "bev_map"
+
+    cfg = load_config(CONFIG_DIR, overrides=["+exp=occ_bg"])
+    assert branch_specs_from_cfg(cfg)[0].cond_kind == "occ_image"
+
+    cfg = load_config(CONFIG_DIR, overrides=["+exp=dual_branch_augloss_fusion"])
+    specs = branch_specs_from_cfg(cfg)
+    assert len(specs) == 2
+    assert specs[0].cond_kind == "occ_image" and not specs[0].use_map_vec
+    assert specs[1].cond_kind == "occ_3d" and specs[1].use_map_vec
+    assert specs[1].map_vec_points == 40 and specs[1].view_shared
+    assert specs[1].occ_fg and not specs[1].occ_bg
+
+
+def test_collate_vanilla(ds):
+    cfg = load_config(CONFIG_DIR, overrides=["+exp=224x400"])
+    batch = _collate(cfg, ds)
+    assert batch["pixel_values"].shape == (2, 6, 224, 400, 3)
+    assert batch["bev_map"].shape == (2, 200, 200, 8)
+    assert batch["camera_param"].shape == (2, 6, 3, 7)
+    assert batch["input_ids"].shape == (2, 77)
+    assert batch["uncond_ids"].shape == (1, 77)
+    (b,) = (batch["branches"] if False else [batch["branches"][0]])
+    assert b["cond"].shape == (2, 200, 200, 8)
+    boxes = b["bboxes_3d"]
+    assert boxes["bboxes"].shape == (2, 6, 160, 8, 3)
+    assert boxes["masks"].any()
+    # caption template contains location
+    assert "singapore" in batch["captions"][0] or "boston" in batch["captions"][0]
+
+
+def test_collate_dual_branch_and_fgm(ds):
+    cfg = load_config(CONFIG_DIR, overrides=["+exp=dual_branch_augloss_fusion"])
+    batch = _collate(cfg, ds)
+    assert len(batch["branches"]) == 2
+    b0, b1 = batch["branches"]
+    assert b0["cond"].shape == (2, 224, 400 * 6, 3)  # occ panorama
+    assert b1["cond"] is None  # device-side ORS
+    assert batch["occ_labels"].shape == (2, 200, 200, 16)
+    assert b1["bboxes_3d"]["bboxes"].shape == (2, 1, 160, 40, 3)  # map-vec 40pt
+    assert "fgm" in batch
+    assert batch["fgm"]["bboxes"].shape == (2, 6, 160, 8, 3)
+    assert batch["fgm"]["lidar2image"].shape == (2, 6, 4, 4)
+
+
+def test_collate_aug_text(ds):
+    cfg = load_config(CONFIG_DIR, overrides=["+exp=occ_bg_augtext"])
+    batch = _collate(cfg, ds)
+    assert len(batch["captions"]) == 2 * 6  # per-view captions
+    assert batch["input_ids"].shape == (12, 77)
+
+
+def test_collate_inference_without_images(ds):
+    cfg = load_config(CONFIG_DIR, overrides=["+exp=occ_bg"])
+    samples = []
+    for i in range(2):
+        s = dict(ds[i])
+        del s["img"]
+        samples.append(s)
+    tok = HashTokenizer()
+    batch = collate_fn(samples, cfg, tok, is_train=False)
+    assert "pixel_values" not in batch
+    assert batch["branches"][0]["cond"] is not None

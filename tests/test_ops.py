@@ -73,3 +73,23 @@ def test_dispatcher_shapes(rng):
     q = jax.random.normal(rng, (2, 128, 4, 32))
     out = multi_head_attention(q, q, q)
     assert out.shape == q.shape
+
+
+def test_flash_attention_gradients_match_einsum(rng):
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    b, l, h, d = 1, 300, 2, 40
+    q = jax.random.normal(k1, (b, l, h, d), jnp.float32)
+    k = jax.random.normal(k2, (b, l, h, d), jnp.float32)
+    v = jax.random.normal(k3, (b, l, h, d), jnp.float32)
+    ref_w = jax.random.normal(k4, (b, l, h, d), jnp.float32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, block_q=128, block_k=128) * ref_w)
+
+    def loss_einsum(q, k, v):
+        return jnp.sum(mha_einsum(q, k, v) * ref_w)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    ge = jax.grad(loss_einsum, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, ge):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-3)
