@@ -70,6 +70,7 @@ class BEVControlNet(nn.Module):
     bbox_class_token_dim: int = 768
     # IP-Adapter-style decoupled box cross-attn (reference box_adapter.py)
     use_box_adapter: bool = False
+    remat: bool = False  # gradient checkpointing per block
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -219,25 +220,28 @@ class BEVControlNet(nn.Module):
 
         # --- 3/4. encoder ------------------------------------------------------
         res_stack = [x]
+        import flax.linen as _nn
+        rm = (lambda cls: _nn.remat(cls, prevent_cse=False)) if self.remat \
+            else (lambda cls: cls)
         tx = dict(heads=self.heads, cross_attention_dim=self.cross_attention_dim,
-                  box_adapter=self.use_box_adapter,
+                  n_cam=N, box_adapter=self.use_box_adapter,
                   num_box_tokens=num_box_tokens if self.use_box_adapter else 0,
                   dtype=self.dtype)
         for i, ch in enumerate(chs):
             is_final = i == len(chs) - 1
             if not is_final:
-                x, res = CrossAttnDownBlock2D(
+                x, res = rm(CrossAttnDownBlock2D)(
                     ch, num_layers=self.layers_per_block, add_downsample=True,
                     **tx, name=f"down_blocks_{i}",
-                )(x, emb, kv_internal, n_cam=N)
+                )(x, emb, kv_internal)
             else:
-                x, res = DownBlock2D(
+                x, res = rm(DownBlock2D)(
                     ch, num_layers=self.layers_per_block, add_downsample=False,
                     dtype=self.dtype, name=f"down_blocks_{i}",
                 )(x, emb)
-            res_stack += res
-        x = UNetMidBlock2DCrossAttn(chs[-1], **tx, name="mid_block")(
-            x, emb, kv_internal, n_cam=N)
+            res_stack += list(res)
+        x = rm(UNetMidBlock2DCrossAttn)(chs[-1], **tx, name="mid_block")(
+            x, emb, kv_internal)
 
         # --- 5. zero-conv heads --------------------------------------------------
         downs = []

@@ -117,7 +117,21 @@ class Attention(nn.Module):
     box_adapter: bool = False
     num_box_tokens: int = 0
     box_scale: float = 1.0
+    lora_rank: int = 0  # LoRA adapters on q/k/v/out (RGD stage-2 fine-tuning)
     dtype: Dtype = jnp.float32
+
+    def _proj(self, name: str, x: jnp.ndarray, inner: int,
+              use_bias: bool = False) -> jnp.ndarray:
+        out = nn.Dense(inner, use_bias=use_bias, dtype=self.dtype,
+                       name=name)(x)
+        if self.lora_rank > 0:
+            a = nn.Dense(self.lora_rank, use_bias=False, dtype=self.dtype,
+                         name=f"{name}_lora_a")(x)
+            delta = nn.Dense(inner, use_bias=False,
+                             kernel_init=nn.initializers.zeros,
+                             dtype=self.dtype, name=f"{name}_lora_b")(a)
+            out = out + delta
+        return out
 
     @nn.compact
     def __call__(
@@ -142,9 +156,9 @@ class Attention(nn.Module):
             end = kv.shape[1] - n
             kv, box_tok = kv[:, :end], kv[:, end:]
 
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(hidden_states)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(kv)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(kv)
+        q = self._proj("to_q", hidden_states, inner)
+        k = self._proj("to_k", kv, inner)
+        v = self._proj("to_v", kv, inner)
         q = heads_split(q)
         out = multi_head_attention(q, heads_split(k), heads_split(v))
         out = out.reshape(b, lq, inner)
@@ -166,8 +180,7 @@ class Attention(nn.Module):
             box_out = multi_head_attention(q, bk, bv).reshape(b, lq, inner)
             out = out + self.box_scale * box_out
 
-        return nn.Dense(inner, use_bias=self.out_bias, dtype=self.dtype,
-                        name="to_out_0")(out)
+        return self._proj("to_out_0", out, inner, use_bias=self.out_bias)
 
 
 class GEGLUFeedForward(nn.Module):
@@ -212,6 +225,7 @@ class BasicTransformerBlock(nn.Module):
     dim: int
     heads: int = 8
     cross_attention_dim: int = 768
+    n_cam: int = 1
     # multiview
     multiview: bool = False
     neighboring_view_pair: Optional[Tuple[Tuple[int, ...], ...]] = None
@@ -224,6 +238,7 @@ class BasicTransformerBlock(nn.Module):
     # box adapter (controlnet-only, reference box_adapter.py:414-444)
     box_adapter: bool = False
     num_box_tokens: int = 0
+    lora_rank: int = 0
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -231,7 +246,6 @@ class BasicTransformerBlock(nn.Module):
         self,
         hidden_states: jnp.ndarray,  # (B', L, D) where B' folds batch/cam/frame
         encoder_hidden_states: jnp.ndarray,  # (B', L_kv, D_kv)
-        n_cam: int = 1,
     ) -> jnp.ndarray:
         d = self.dim
         # 1. self attention (ST-Attn replaces KV with [first; prev] frames)
@@ -240,23 +254,23 @@ class BasicTransformerBlock(nn.Module):
             kv = self._st_attn_kv(norm_h)
         else:
             kv = None
-        attn_out = Attention(d, self.heads, dtype=self.dtype, name="attn1")(
-            norm_h, kv
-        )
+        attn_out = Attention(d, self.heads, lora_rank=self.lora_rank,
+                             dtype=self.dtype, name="attn1")(norm_h, kv)
         hidden_states = hidden_states + attn_out
 
         # 2. text cross attention
         norm_h = _ln("norm2")(hidden_states).astype(self.dtype)
         attn_out = Attention(
             d, self.heads, box_adapter=self.box_adapter,
-            num_box_tokens=self.num_box_tokens, dtype=self.dtype,
+            num_box_tokens=self.num_box_tokens, lora_rank=self.lora_rank,
+            dtype=self.dtype,
             name="attn2")(norm_h, encoder_hidden_states.astype(self.dtype))
         hidden_states = hidden_states + attn_out
 
         # 2.5 multiview cross attention (attn4)
         if self.multiview:
             norm_h = _ln("norm4")(hidden_states).astype(self.dtype)
-            attn_out = self._multiview_attn(norm_h, n_cam)
+            attn_out = self._multiview_attn(norm_h, self.n_cam)
             if self.zero_module_type == "zero_linear":
                 attn_out = nn.Dense(
                     d, kernel_init=nn.initializers.zeros,
@@ -312,28 +326,32 @@ class BasicTransformerBlock(nn.Module):
         return out
 
     def _st_attn_kv(self, norm_h: jnp.ndarray) -> jnp.ndarray:
-        """KV = concat(first frame, previous frame) per token position.
+        """ST-Attn: self-attn KV = concat(first frame, previous frame) of the
+        same view (DualDiff+ stage 1, designed from arXiv 2503.03689; no
+        reference code exists).
 
-        Layout contract: leading dim folds (..., frame) with frame as the
-        *innermost* folded axis (b*cam*frame)."""
-        bf, l, d = norm_h.shape
-        f = self.num_frames
-        h = norm_h.reshape(bf // f, f, l, d)
+        Layout contract: leading dim folds (batch, frame, cam) — frame outer,
+        cam inner — matching the ControlNet's (b f) batch output order."""
+        bfn, l, d = norm_h.shape
+        f, n = self.num_frames, self.n_cam
+        h = norm_h.reshape(bfn // (f * n), f, n, l, d)
         first = jnp.broadcast_to(h[:, :1], h.shape)
         prev = jnp.concatenate([h[:, :1], h[:, :-1]], axis=1)
-        kv = jnp.concatenate([first, prev], axis=2)  # (b, f, 2l, d)
-        return kv.reshape(bf, 2 * l, d)
+        kv = jnp.concatenate([first, prev], axis=3)  # (b, f, n, 2l, d)
+        return kv.reshape(bfn, 2 * l, d)
 
     def _temporal_attn(self, norm_h: jnp.ndarray) -> jnp.ndarray:
-        bf, l, d = norm_h.shape
-        f = self.num_frames
-        h = norm_h.reshape(bf // f, f, l, d)
-        h = jnp.swapaxes(h, 1, 2).reshape(-1, f, d)  # (b*l, f, d)
+        """Per-(view, pixel) attention over the frame axis."""
+        bfn, l, d = norm_h.shape
+        f, n = self.num_frames, self.n_cam
+        b = bfn // (f * n)
+        h = norm_h.reshape(b, f, n, l, d)
+        h = jnp.transpose(h, (0, 2, 3, 1, 4)).reshape(-1, f, d)  # (b*n*l, f, d)
         out = Attention(d, self.heads, dtype=self.dtype, name="attn_temporal")(
             h, None
         )
-        out = out.reshape(bf // f, l, f, d)
-        return jnp.swapaxes(out, 1, 2).reshape(bf, l, d)
+        out = out.reshape(b, n, l, f, d)
+        return jnp.transpose(out, (0, 3, 1, 2, 4)).reshape(bfn, l, d)
 
 
 class Transformer2DModel(nn.Module):
@@ -343,6 +361,7 @@ class Transformer2DModel(nn.Module):
     heads: int = 8
     cross_attention_dim: int = 768
     num_layers: int = 1
+    n_cam: int = 1
     multiview: bool = False
     neighboring_view_pair: Optional[Tuple[Tuple[int, ...], ...]] = None
     neighboring_attn_type: str = "add"
@@ -352,6 +371,7 @@ class Transformer2DModel(nn.Module):
     num_frames: int = 1
     box_adapter: bool = False
     num_box_tokens: int = 0
+    lora_rank: int = 0
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -359,7 +379,6 @@ class Transformer2DModel(nn.Module):
         self,
         x: jnp.ndarray,  # (B', H, W, C)
         encoder_hidden_states: jnp.ndarray,
-        n_cam: int = 1,
     ) -> jnp.ndarray:
         b, h, w, c = x.shape
         residual = x
@@ -372,6 +391,7 @@ class Transformer2DModel(nn.Module):
                 dim=self.in_channels,
                 heads=self.heads,
                 cross_attention_dim=self.cross_attention_dim,
+                n_cam=self.n_cam,
                 multiview=self.multiview,
                 neighboring_view_pair=self.neighboring_view_pair,
                 neighboring_attn_type=self.neighboring_attn_type,
@@ -381,9 +401,10 @@ class Transformer2DModel(nn.Module):
                 num_frames=self.num_frames,
                 box_adapter=self.box_adapter,
                 num_box_tokens=self.num_box_tokens,
+                lora_rank=self.lora_rank,
                 dtype=self.dtype,
                 name=f"transformer_blocks_{i}",
-            )(hs, encoder_hidden_states, n_cam=n_cam)
+            )(hs, encoder_hidden_states)
         hs = hs.reshape(b, h, w, c)
         hs = nn.Conv(self.in_channels, (1, 1), dtype=self.dtype, name="proj_out")(hs)
         return hs + residual

@@ -7,7 +7,11 @@ every transformer block carries the multiview attn4 path
 the skip connections (``unet_2d_condition_multiview.py:464-488``).
 
 Layout: NHWC; the leading batch dim folds ``(batch, cam[, frame])`` with
-frame innermost.  Everything static-shaped; jit/pjit friendly.
+frame innermost.  Everything static-shaped; jit/pjit friendly.  Static
+per-trace info (``n_cam``, upsample targets) travels as module attributes so
+blocks can be wrapped in ``nn.remat`` (gradient checkpointing, the
+``enable_unet_checkpointing`` / ``enable_controlnet_checkpointing`` flags,
+reference ``unet_2d_condition_multiview.py:273-292``).
 """
 
 from __future__ import annotations
@@ -18,7 +22,6 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from .layers import (
-    BasicTransformerBlock,
     Downsample2D,
     ResnetBlock2D,
     TimestepEmbedding,
@@ -36,6 +39,7 @@ class CrossAttnDownBlock2D(nn.Module):
     add_downsample: bool = True
     heads: int = 8
     cross_attention_dim: int = 768
+    n_cam: int = 1
     multiview: bool = False
     neighboring_view_pair: Optional[Tuple[Tuple[int, ...], ...]] = None
     neighboring_attn_type: str = "add"
@@ -45,33 +49,36 @@ class CrossAttnDownBlock2D(nn.Module):
     num_frames: int = 1
     box_adapter: bool = False
     num_box_tokens: int = 0
+    lora_rank: int = 0
     dtype: Dtype = jnp.float32
 
+    def _tx(self, i):
+        return Transformer2DModel(
+            self.out_channels, heads=self.heads,
+            cross_attention_dim=self.cross_attention_dim, n_cam=self.n_cam,
+            multiview=self.multiview,
+            neighboring_view_pair=self.neighboring_view_pair,
+            neighboring_attn_type=self.neighboring_attn_type,
+            zero_module_type=self.zero_module_type,
+            st_attn=self.st_attn, temporal=self.temporal,
+            num_frames=self.num_frames, box_adapter=self.box_adapter,
+            num_box_tokens=self.num_box_tokens, lora_rank=self.lora_rank,
+            dtype=self.dtype,
+            name=f"attentions_{i}")
+
     @nn.compact
-    def __call__(self, x, temb, encoder_hidden_states, n_cam=1):
+    def __call__(self, x, temb, encoder_hidden_states):
         res = []
         for i in range(self.num_layers):
             x = ResnetBlock2D(self.out_channels, dtype=self.dtype,
                               name=f"resnets_{i}")(x, temb)
-            x = Transformer2DModel(
-                self.out_channels, heads=self.heads,
-                cross_attention_dim=self.cross_attention_dim,
-                multiview=self.multiview,
-                neighboring_view_pair=self.neighboring_view_pair,
-                neighboring_attn_type=self.neighboring_attn_type,
-                zero_module_type=self.zero_module_type,
-                st_attn=self.st_attn, temporal=self.temporal,
-                num_frames=self.num_frames,
-                box_adapter=self.box_adapter,
-                num_box_tokens=self.num_box_tokens, dtype=self.dtype,
-                name=f"attentions_{i}",
-            )(x, encoder_hidden_states, n_cam=n_cam)
+            x = self._tx(i)(x, encoder_hidden_states)
             res.append(x)
         if self.add_downsample:
             x = Downsample2D(self.out_channels, dtype=self.dtype,
                              name="downsamplers_0")(x)
             res.append(x)
-        return x, res
+        return x, tuple(res)
 
 
 class DownBlock2D(nn.Module):
@@ -91,13 +98,14 @@ class DownBlock2D(nn.Module):
             x = Downsample2D(self.out_channels, dtype=self.dtype,
                              name="downsamplers_0")(x)
             res.append(x)
-        return x, res
+        return x, tuple(res)
 
 
 class UNetMidBlock2DCrossAttn(nn.Module):
     channels: int
     heads: int = 8
     cross_attention_dim: int = 768
+    n_cam: int = 1
     multiview: bool = False
     neighboring_view_pair: Optional[Tuple[Tuple[int, ...], ...]] = None
     neighboring_attn_type: str = "add"
@@ -107,24 +115,25 @@ class UNetMidBlock2DCrossAttn(nn.Module):
     num_frames: int = 1
     box_adapter: bool = False
     num_box_tokens: int = 0
+    lora_rank: int = 0
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, temb, encoder_hidden_states, n_cam=1):
+    def __call__(self, x, temb, encoder_hidden_states):
         x = ResnetBlock2D(self.channels, dtype=self.dtype, name="resnets_0")(x, temb)
         x = Transformer2DModel(
             self.channels, heads=self.heads,
-            cross_attention_dim=self.cross_attention_dim,
+            cross_attention_dim=self.cross_attention_dim, n_cam=self.n_cam,
             multiview=self.multiview,
             neighboring_view_pair=self.neighboring_view_pair,
             neighboring_attn_type=self.neighboring_attn_type,
             zero_module_type=self.zero_module_type,
             st_attn=self.st_attn, temporal=self.temporal,
-            num_frames=self.num_frames,
-            box_adapter=self.box_adapter,
-            num_box_tokens=self.num_box_tokens, dtype=self.dtype,
+            num_frames=self.num_frames, box_adapter=self.box_adapter,
+            num_box_tokens=self.num_box_tokens, lora_rank=self.lora_rank,
+            dtype=self.dtype,
             name="attentions_0",
-        )(x, encoder_hidden_states, n_cam=n_cam)
+        )(x, encoder_hidden_states)
         x = ResnetBlock2D(self.channels, dtype=self.dtype, name="resnets_1")(x, temb)
         return x
 
@@ -132,29 +141,30 @@ class UNetMidBlock2DCrossAttn(nn.Module):
 class UpBlock2D(nn.Module):
     out_channels: int
     num_layers: int = 3
+    upsample_target: Optional[Tuple[int, int]] = None  # None: no upsample
     add_upsample: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, res_stack, temb):
+    def __call__(self, x, skips, temb):
         for i in range(self.num_layers):
-            skip = res_stack.pop()
-            x = jnp.concatenate([x, skip], axis=-1)
+            x = jnp.concatenate([x, skips[i]], axis=-1)
             x = ResnetBlock2D(self.out_channels, dtype=self.dtype,
                               name=f"resnets_{i}")(x, temb)
         if self.add_upsample:
-            target = res_stack[-1].shape[1:3] if res_stack else None
             x = Upsample2D(self.out_channels, dtype=self.dtype,
-                           name="upsamplers_0")(x, target)
+                           name="upsamplers_0")(x, self.upsample_target)
         return x
 
 
 class CrossAttnUpBlock2D(nn.Module):
     out_channels: int
     num_layers: int = 3
+    upsample_target: Optional[Tuple[int, int]] = None
     add_upsample: bool = True
     heads: int = 8
     cross_attention_dim: int = 768
+    n_cam: int = 1
     multiview: bool = False
     neighboring_view_pair: Optional[Tuple[Tuple[int, ...], ...]] = None
     neighboring_attn_type: str = "add"
@@ -164,32 +174,31 @@ class CrossAttnUpBlock2D(nn.Module):
     num_frames: int = 1
     box_adapter: bool = False
     num_box_tokens: int = 0
+    lora_rank: int = 0
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, res_stack, temb, encoder_hidden_states, n_cam=1):
+    def __call__(self, x, skips, temb, encoder_hidden_states):
         for i in range(self.num_layers):
-            skip = res_stack.pop()
-            x = jnp.concatenate([x, skip], axis=-1)
+            x = jnp.concatenate([x, skips[i]], axis=-1)
             x = ResnetBlock2D(self.out_channels, dtype=self.dtype,
                               name=f"resnets_{i}")(x, temb)
             x = Transformer2DModel(
                 self.out_channels, heads=self.heads,
-                cross_attention_dim=self.cross_attention_dim,
+                cross_attention_dim=self.cross_attention_dim, n_cam=self.n_cam,
                 multiview=self.multiview,
                 neighboring_view_pair=self.neighboring_view_pair,
                 neighboring_attn_type=self.neighboring_attn_type,
                 zero_module_type=self.zero_module_type,
                 st_attn=self.st_attn, temporal=self.temporal,
-                num_frames=self.num_frames,
-                box_adapter=self.box_adapter,
-                num_box_tokens=self.num_box_tokens, dtype=self.dtype,
+                num_frames=self.num_frames, box_adapter=self.box_adapter,
+                num_box_tokens=self.num_box_tokens, lora_rank=self.lora_rank,
+                dtype=self.dtype,
                 name=f"attentions_{i}",
-            )(x, encoder_hidden_states, n_cam=n_cam)
+            )(x, encoder_hidden_states)
         if self.add_upsample:
-            target = res_stack[-1].shape[1:3] if res_stack else None
             x = Upsample2D(self.out_channels, dtype=self.dtype,
-                           name="upsamplers_0")(x, target)
+                           name="upsamplers_0")(x, self.upsample_target)
         return x
 
 
@@ -198,8 +207,8 @@ class UNet2DConditionMultiview(nn.Module):
 
     ``trainable_state='only_new'`` (reference semantics) is implemented in
     the trainer by masking gradients to parameter paths containing
-    ``attn4 / norm4 / connector / temporal / st_attn`` — the module itself is
-    a pure function of all params.
+    ``attn4 / norm4 / connector / temporal`` — the module itself is a pure
+    function of all params.
     """
 
     in_channels: int = 4
@@ -216,17 +225,20 @@ class UNet2DConditionMultiview(nn.Module):
     st_attn: bool = False
     temporal: bool = False
     num_frames: int = 1
+    lora_rank: int = 0  # RGD stage-2 LoRA fine-tuning
+    remat: bool = False  # gradient checkpointing per block
     dtype: Dtype = jnp.float32
 
-    def _tx_kwargs(self):
+    def _tx_kwargs(self, n_cam: int):
         return dict(
             heads=self.heads, cross_attention_dim=self.cross_attention_dim,
-            multiview=self.multiview,
+            n_cam=n_cam, multiview=self.multiview,
             neighboring_view_pair=self.neighboring_view_pair,
             neighboring_attn_type=self.neighboring_attn_type,
             zero_module_type=self.zero_module_type,
             st_attn=self.st_attn, temporal=self.temporal,
-            num_frames=self.num_frames, dtype=self.dtype,
+            num_frames=self.num_frames, lora_rank=self.lora_rank,
+            dtype=self.dtype,
         )
 
     @nn.compact
@@ -240,7 +252,9 @@ class UNet2DConditionMultiview(nn.Module):
         n_cam: int = 6,
     ) -> jnp.ndarray:
         chs = list(self.block_out_channels)
-        tx = self._tx_kwargs()
+        tx = self._tx_kwargs(n_cam)
+        rm = (lambda cls: nn.remat(cls, prevent_cse=False)) if self.remat \
+            else (lambda cls: cls)
 
         t_emb = get_timestep_embedding(timesteps, chs[0])
         temb = TimestepEmbedding(chs[0] * 4, dtype=self.dtype,
@@ -254,16 +268,16 @@ class UNet2DConditionMultiview(nn.Module):
         for i, ch in enumerate(chs):
             is_final = i == len(chs) - 1
             if not is_final:
-                x, res = CrossAttnDownBlock2D(
+                x, res = rm(CrossAttnDownBlock2D)(
                     ch, num_layers=self.layers_per_block, add_downsample=True,
                     **tx, name=f"down_blocks_{i}",
-                )(x, temb, encoder_hidden_states, n_cam=n_cam)
+                )(x, temb, encoder_hidden_states)
             else:
-                x, res = DownBlock2D(
+                x, res = rm(DownBlock2D)(
                     ch, num_layers=self.layers_per_block, add_downsample=False,
                     dtype=self.dtype, name=f"down_blocks_{i}",
                 )(x, temb)
-            res_stack += res
+            res_stack += list(res)
 
         if down_block_additional_residuals is not None:
             res_stack = [
@@ -272,27 +286,31 @@ class UNet2DConditionMultiview(nn.Module):
             ]
 
         # mid
-        x = UNetMidBlock2DCrossAttn(chs[-1], **tx, name="mid_block")(
-            x, temb, encoder_hidden_states, n_cam=n_cam)
+        x = rm(UNetMidBlock2DCrossAttn)(chs[-1], **tx, name="mid_block")(
+            x, temb, encoder_hidden_states)
         if mid_block_additional_residual is not None:
             x = x + mid_block_additional_residual.astype(x.dtype)
 
         # up
         rev = list(reversed(chs))  # [1280, 1280, 640, 320]
+        n_lay = self.layers_per_block + 1
         for i, ch in enumerate(rev):
             is_final = i == len(rev) - 1
+            skips = tuple(res_stack[-n_lay:][::-1])
+            del res_stack[-n_lay:]
+            target = res_stack[-1].shape[1:3] if res_stack else None
             if i == 0:
-                x = UpBlock2D(
-                    ch, num_layers=self.layers_per_block + 1,
+                x = rm(UpBlock2D)(
+                    ch, num_layers=n_lay, upsample_target=target,
                     add_upsample=not is_final, dtype=self.dtype,
                     name=f"up_blocks_{i}",
-                )(x, res_stack, temb)
+                )(x, skips, temb)
             else:
-                x = CrossAttnUpBlock2D(
-                    ch, num_layers=self.layers_per_block + 1,
+                x = rm(CrossAttnUpBlock2D)(
+                    ch, num_layers=n_lay, upsample_target=target,
                     add_upsample=not is_final, **tx,
                     name=f"up_blocks_{i}",
-                )(x, res_stack, temb, encoder_hidden_states, n_cam=n_cam)
+                )(x, skips, temb, encoder_hidden_states)
 
         x = nn.GroupNorm(min(32, x.shape[-1]), epsilon=1e-5, dtype=jnp.float32,
                          name="conv_norm_out")(x)

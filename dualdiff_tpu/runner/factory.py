@@ -65,6 +65,9 @@ def build_models(cfg, tiny: bool = False) -> Dict:
         st_attn=bool(video and cfg.video.use_st_attn),
         temporal=bool(video and cfg.video.use_temporal_attn),
         num_frames=nf,
+        lora_rank=int(cfg.video.lora_rank)
+        if (video and cfg.video.rgd.enable) else 0,
+        remat=bool(cfg.runner.enable_unet_checkpointing),
         dtype=dtype,
     )
 
@@ -91,6 +94,7 @@ def build_models(cfg, tiny: bool = False) -> Dict:
             bbox_class_token_dim=xdim if tiny else int(
                 c.bbox_embedder_param.class_token_dim),
             use_box_adapter=bool(cfg.use_box_adapter),
+            remat=bool(cfg.runner.enable_controlnet_checkpointing),
             dtype=dtype,
         ))
 

@@ -54,6 +54,8 @@ def trainable_predicate(
 
     def pred(path: Path) -> bool:
         root = path[0]
+        if unet_trainable_state == "lora_only" and not root == "unet":
+            return False  # stage 2 freezes the controlnets too
         if root.startswith("controlnet"):
             if "class_tokens" in path and not trainable_class_token:
                 return False  # frozen CLIP-initialized class tokens
@@ -61,6 +63,9 @@ def trainable_predicate(
         if root == "unet":
             if unet_trainable_state == "all":
                 return True
+            if unet_trainable_state == "lora_only":
+                # RGD stage 2: only LoRA adapters train (arXiv 2505.01857)
+                return any("lora" in part for part in path)
             return is_new_multiview_param(path[1:])
         return False  # vae, text_encoder
 

@@ -83,7 +83,8 @@ def compute_branch_conds(models, batch, latent_hw, image_hw):
 
 
 def make_loss_fn(models, cfg, schedule: DiffusionSchedule,
-                 latent_hw: Tuple[int, int], occ_image_hw: Tuple[int, int]):
+                 latent_hw: Tuple[int, int], occ_image_hw: Tuple[int, int],
+                 frames: int = 1, reward_fn=None, reward_weight: float = 0.0):
     unet, controlnets = models["unet"], models["controlnets"]
     vae, text_encoder = models["vae"], models["text_encoder"]
     n_branches = len(controlnets)
@@ -119,9 +120,16 @@ def make_loss_fn(models, cfg, schedule: DiffusionSchedule,
             off_shape = (B, 1) if same_offset else (B, N)
             off = jax.random.normal(r_off, off_shape, jnp.float32)
             noise = noise + noise_offset * off[..., None, None, None]
-        t_shape = (B,) if same_t else (B, N)
-        timesteps = jax.random.randint(
-            r_t, t_shape, 0, schedule.num_train_timesteps)
+        if frames > 1:
+            # one timestep per clip, shared across its frames (B folds
+            # clip_batch * frames, frame-outer)
+            t_clip = jax.random.randint(
+                r_t, (B // frames,), 0, schedule.num_train_timesteps)
+            timesteps = jnp.repeat(t_clip, frames)
+        else:
+            t_shape = (B,) if same_t else (B, N)
+            timesteps = jax.random.randint(
+                r_t, t_shape, 0, schedule.num_train_timesteps)
         noisy = schedule.add_noise(latents, noise, timesteps)
 
         text, _ = text_encoder.apply(p_text, batch["input_ids"])
@@ -177,14 +185,29 @@ def make_loss_fn(models, cfg, schedule: DiffusionSchedule,
                  - mscn_luminance(px.reshape(B * N, *px.shape[2:]))) ** 2)
             loss = loss + 2.0 * tone
             metrics["tone"] = tone
+        if reward_fn is not None and reward_weight > 0:
+            # RGD: reward on the denoised prediction (arXiv 2505.01857);
+            # maximize reward => subtract
+            x0_pred = schedule.pred_x0_from_eps(noisy, eps, timesteps)
+            img_pred = vae.apply(
+                p_vae, x0_pred.reshape(B * N, *x0_pred.shape[2:]),
+                method=vae.decode)
+            reward = jnp.mean(reward_fn(img_pred, px.reshape(
+                B * N, *px.shape[2:]), batch))
+            loss = loss - reward_weight * reward
+            metrics["reward"] = reward
         metrics["loss"] = loss
         return loss, metrics
 
     return loss_fn
 
 
-def make_train_step(models, cfg, schedule, tx, latent_hw, occ_image_hw):
-    loss_fn = make_loss_fn(models, cfg, schedule, latent_hw, occ_image_hw)
+def make_train_step(models, cfg, schedule, tx, latent_hw, occ_image_hw,
+                    frames: int = 1, reward_fn=None,
+                    reward_weight: float = 0.0):
+    loss_fn = make_loss_fn(models, cfg, schedule, latent_hw, occ_image_hw,
+                           frames=frames, reward_fn=reward_fn,
+                           reward_weight=reward_weight)
 
     def train_step(state, frozen, batch, rng):
         rng = jax.random.fold_in(rng, state["step"])
@@ -262,11 +285,13 @@ class MultiviewTrainer:
         self.max_train_steps = int(mts)
         self.steps_per_epoch = steps_per_epoch
 
+    def _collate_items(self, items, rng):
+        return collate_fn(items, self.cfg, self.tokenizer, rng=rng)
+
     def _init_state(self):
         cfg = self.cfg
         ds = self.train_set
-        batch = collate_fn([ds[0]], cfg, self.tokenizer,
-                           rng=np.random.default_rng(0))
+        batch = self._collate_items([ds[0]], np.random.default_rng(0))
         tensors = prepare_batch(batch)
         self._example_batch = tensors
         models = self.models
@@ -322,6 +347,12 @@ class MultiviewTrainer:
         n_t = sum(x.size for x in jax.tree_util.tree_leaves(trainable))
         n_f = sum(x.size for x in jax.tree_util.tree_leaves(frozen))
         log.info("trainable params: %.1fM, frozen: %.1fM", n_t / 1e6, n_f / 1e6)
+        # frozen params live in compute precision (reference keeps the fp16
+        # model with fp32 trainable islands, multiview_runner.py:319-335)
+        cdtype = self.models["dtype"]
+        frozen = jax.tree_util.tree_map(
+            lambda x: x.astype(cdtype)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, frozen)
         self.frozen = jax.device_put(frozen, replicate(self.mesh))
         self.state = {
             "params": jax.device_put(trainable, replicate(self.mesh)),
@@ -336,8 +367,7 @@ class MultiviewTrainer:
         order = rng.permutation(len(self.train_set))
         for i in range(0, len(order) - bs + 1, bs):
             samples = [self.train_set[int(j)] for j in order[i:i + bs]]
-            batch = collate_fn(samples, self.cfg, self.tokenizer, rng=rng)
-            yield prepare_batch(batch)
+            yield prepare_batch(self._collate_items(samples, rng))
 
     def run(self, max_steps: Optional[int] = None,
             on_metrics=None) -> Dict[str, float]:

@@ -1,0 +1,73 @@
+"""Video trainer: DualDiff+ stage 1 (ST-Attn/temporal) + stage 2 (RGD).
+
+Designed from the DualDiff+ papers (arXiv 2503.03689, 2505.01857) — the
+reference repo contains no video code (SURVEY.md §0).
+
+Stage 1: 16-frame clips; the image-stage conditioning path runs per frame
+(the clip flattens into the batch dim, frame-outer/camera-inner); ST-Attn
+and temporal attention in the UNet couple the frames; one shared timestep
+per clip.
+
+Stage 2 (Reward-Guided Diffusion): freeze everything except LoRA adapters on
+the UNet attention projections; add a reward term computed on the decoded
+denoised prediction plus the FGM foreground-masked loss.  The reward model
+is pluggable (``reward_fn(pred_images, gt_images, batch) -> per-image
+score``); the default proxy rewards GT reconstruction (documented stand-in —
+swap in a trained perception/aesthetic reward when assets are available).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.video import collate_video
+from .trainer import MultiviewTrainer, make_train_step, prepare_batch
+
+log = logging.getLogger(__name__)
+
+__all__ = ["VideoTrainer", "default_reward_fn"]
+
+
+def default_reward_fn(pred_images: jnp.ndarray, gt_images: jnp.ndarray,
+                      batch: Dict) -> jnp.ndarray:
+    """Reconstruction-proxy reward in [-inf, 0]: negative pixel MSE."""
+    return -jnp.mean(
+        (pred_images.astype(jnp.float32) - gt_images.astype(jnp.float32)) ** 2,
+        axis=(1, 2, 3))
+
+
+class VideoTrainer(MultiviewTrainer):
+    """Trains on clip datasets (``__getitem__`` returns a list of frame
+    samples).  ``cfg.use_video`` must be set so the factory builds the UNet
+    with ST-Attn/temporal modules (and LoRA when rgd.enable)."""
+
+    def __init__(self, cfg, train_set, val_set=None, tiny: bool = False,
+                 mesh=None, reward_fn: Optional[Callable] = None):
+        assert bool(cfg.get("use_video")), "VideoTrainer needs use_video=true"
+        self.num_frames = int(cfg.video.num_frames)
+        self._reward_fn = reward_fn
+        super().__init__(cfg, train_set, val_set, tiny=tiny, mesh=mesh)
+        rgd = bool(cfg.video.rgd.enable)
+        self.train_step = jax.jit(make_train_step(
+            self.models, cfg, self.schedule, self.tx, self.latent_hw,
+            self.image_hw, frames=self.num_frames,
+            reward_fn=(reward_fn or default_reward_fn) if rgd else None,
+            reward_weight=float(cfg.video.rgd.reward_weight) if rgd else 0.0,
+        ), donate_argnums=(0,))
+
+    # clip datasets return a list of frames per item -----------------------
+    def _collate_items(self, items, rng):
+        return collate_video(items, self.cfg, self.tokenizer, rng=rng)
+
+    def _batches(self, epoch: int):
+        bs = int(self.cfg.runner.train_batch_size)
+        rng = np.random.default_rng(int(self.cfg.seed) + epoch)
+        order = rng.permutation(len(self.train_set))
+        for i in range(0, len(order) - bs + 1, bs):
+            clips = [self.train_set[int(j)] for j in order[i:i + bs]]
+            yield prepare_batch(self._collate_items(clips, rng))

@@ -1,0 +1,112 @@
+"""DualDiff+ video stage: ST-Attn/temporal attention, clip training, RGD."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dualdiff_tpu.data.video import SyntheticNuScenesVideo, collate_video
+from dualdiff_tpu.models.layers import BasicTransformerBlock
+from dualdiff_tpu.runner.video_trainer import VideoTrainer, default_reward_fn
+from dualdiff_tpu.utils.config import load_config
+
+CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
+IMG = [32, 48]
+F = 2  # frames (tiny for CPU)
+
+
+def _cfg(*exp, extra=()):
+    overrides = [f"+exp={e}" for e in exp] + [
+        "runner=debug", f"dataset.image_size={IMG}",
+        f"video.num_frames={F}", *extra]
+    return load_config(CONFIG_DIR, overrides=overrides)
+
+
+def test_st_attn_and_temporal_shapes(rng):
+    n_cam, f, l, d = 3, 4, 5, 32
+    m = BasicTransformerBlock(
+        dim=d, heads=4, cross_attention_dim=d, n_cam=n_cam, multiview=True,
+        neighboring_view_pair=((2, 1), (0, 2), (1, 0)),
+        st_attn=True, temporal=True, num_frames=f)
+    bfn = 2 * f * n_cam
+    x = jax.random.normal(rng, (bfn, l, d))
+    ehs = jax.random.normal(rng, (bfn, 7, d))
+    p = m.init(jax.random.PRNGKey(0), x, ehs)
+    out = m.apply(p, x, ehs)
+    assert out.shape == x.shape
+    # temporal + connector params exist
+    names = str(jax.tree_util.tree_structure(p))
+    assert "attn_temporal" in names and "temporal_connector" in names
+
+
+def test_temporal_zero_init_is_identity(rng):
+    """At init the temporal connector is zero => output equals the same
+    block with temporal disabled (given shared params)."""
+    import flax
+
+    n_cam, f, l, d = 2, 3, 4, 32
+    kw = dict(dim=d, heads=4, cross_attention_dim=d, n_cam=n_cam,
+              multiview=False, num_frames=f)
+    m_t = BasicTransformerBlock(st_attn=False, temporal=True, **kw)
+    m_0 = BasicTransformerBlock(st_attn=False, temporal=False, **kw)
+    bfn = 1 * f * n_cam
+    x = jax.random.normal(rng, (bfn, l, d))
+    ehs = jax.random.normal(rng, (bfn, 7, d))
+    p_t = m_t.init(jax.random.PRNGKey(0), x, ehs)
+    flat = flax.traverse_util.flatten_dict(p_t["params"])
+    shared = {k: v for k, v in flat.items()
+              if "temporal" not in ".".join(k)}
+    p_0 = {"params": flax.traverse_util.unflatten_dict(shared)}
+    np.testing.assert_allclose(
+        np.asarray(m_t.apply(p_t, x, ehs)),
+        np.asarray(m_0.apply(p_0, x, ehs)), atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def clips():
+    return SyntheticNuScenesVideo(num_clips=3, num_frames=F,
+                                  image_size=tuple(IMG))
+
+
+def test_collate_video_shapes(clips):
+    from dualdiff_tpu.data.tokenizer import HashTokenizer
+
+    cfg = _cfg("video_16f")
+    batch = collate_video([clips[0]], cfg, HashTokenizer(),
+                          rng=np.random.default_rng(0))
+    assert batch["pixel_values"].shape == (F, 6, IMG[0], IMG[1], 3)
+    assert batch["num_frames"] == F and batch["clip_batch"] == 1
+
+
+def test_video_stage1_train_smoke(clips, tmp_path_factory):
+    cfg = _cfg("video_16f")
+    cfg.log_root = str(tmp_path_factory.mktemp("video1"))
+    trainer = VideoTrainer(cfg, clips, tiny=True)
+    assert trainer.models["unet"].st_attn and trainer.models["unet"].temporal
+    metrics = trainer.run(max_steps=1)
+    assert np.isfinite(metrics["loss"])
+
+
+def test_video_stage2_rgd_lora_only(clips, tmp_path_factory):
+    cfg = _cfg("rgd_stage2",
+               extra=["model.unet.trainable_state=lora_only"])
+    cfg.log_root = str(tmp_path_factory.mktemp("video2"))
+    trainer = VideoTrainer(cfg, clips, tiny=True)
+    assert trainer.models["unet"].lora_rank > 0
+    # only LoRA params are trainable
+    import flax
+
+    paths = flax.traverse_util.flatten_dict(trainer.state["params"]).keys()
+    assert paths and all(any("lora" in p for p in k) for k in paths)
+    metrics = trainer.run(max_steps=1)
+    assert "reward" in metrics and np.isfinite(metrics["reward"])
+
+
+def test_default_reward_fn():
+    a = jnp.zeros((2, 4, 4, 3))
+    b = jnp.ones((2, 4, 4, 3))
+    r_same = default_reward_fn(a, a, {})
+    r_diff = default_reward_fn(a, b, {})
+    assert float(r_same.mean()) > float(r_diff.mean())

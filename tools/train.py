@@ -34,7 +34,8 @@ def main(argv=None):
         level=logging.DEBUG if cfg.debug else logging.INFO,
         format="%(asctime)s %(levelname)s %(name)s: %(message)s",
         handlers=[logging.StreamHandler(),
-                  logging.FileHandler(os.path.join(cfg.log_root, "train.log"))])
+                  logging.FileHandler(os.path.join(cfg.log_root, "train.log"))],
+        force=True)  # jax/axon import pre-configures the root logger
     log = logging.getLogger("train")
     save_config(cfg, os.path.join(cfg.log_root, "hydra", "config.yaml"))
     with open(os.path.join(cfg.log_root, "hydra", "overrides.yaml"), "w") as f:
