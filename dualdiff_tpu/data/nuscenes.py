@@ -121,9 +121,14 @@ class NuScenesDataset:
     @staticmethod
     def _unpack(packed: np.ndarray, channels: int = 18) -> np.ndarray:
         """int32 bit-packed masks -> (C, 200, 200) uint8 (the reference's
-        numba codec, pipeline_utils.py:10-49, in plain numpy)."""
+        numba codec, pipeline_utils.py:10-49; native C++ when available)."""
         if packed.dtype == np.uint8 and packed.ndim == 3:
             return packed[:channels]
+        from . import native
+
+        out = native.unpack_masks(packed.astype(np.uint32), channels)
+        if out is not None:
+            return out
         bits = ((packed[None] >> np.arange(channels)[:, None, None]) & 1)
         return bits.astype(np.uint8)
 
@@ -155,17 +160,34 @@ class NuScenesDataset:
             occ_K[i] = K[:3, :3]
             occ_T[i] = T
             if self.load_images:
-                from PIL import Image
-
                 path = cam["data_path"]
                 full = path if os.path.isabs(path) else os.path.join(
                     self.dataset_root, path)
-                with Image.open(full) as im:
-                    iw, ih = im.size
-                imgs.append(self._load_image(path))
-                aug_ms.append(self._aug_matrix(iw, ih))
+                imgs.append(full)  # decoded in one native batch below
+                aug_ms.append(None)
             else:
                 aug_ms.append(self._aug_matrix(1600, 900))
+        if self.load_images:
+            from PIL import Image
+
+            from . import native
+
+            decoded = native.load_images_batch(
+                imgs, self.resize_ratio, *self.image_size)
+            if decoded is None:  # python fallback (non-JPEG / no compiler)
+                sizes = []
+                arrs = []
+                for full in imgs:
+                    with Image.open(full) as im:
+                        sizes.append(im.size)
+                    arrs.append(self._load_image(full))
+                decoded = np.stack(arrs)
+                aug_ms = [self._aug_matrix(iw, ih) for iw, ih in sizes]
+            else:
+                # native path assumes the nuScenes 1600x900 frame
+                aug_ms = [self._aug_matrix(1600, 900)] * n_cam
+            imgs = decoded
+
         lidar2camera = np.linalg.inv(cam2lidar)
         lidar2image = intrinsics @ lidar2camera
 
@@ -196,7 +218,7 @@ class NuScenesDataset:
             "img_aug_matrix": np.stack(aug_ms).astype(np.float32),
         }
         if self.load_images:
-            sample["img"] = np.stack(imgs)
+            sample["img"] = np.asarray(imgs, np.float32)
 
         if self.occ_proj_root:  # cached 6-view occ panorama (png or npy)
             for ext, loader in ((".npy", np.load), (".png", None)):

@@ -46,7 +46,17 @@ class FolderSetWrapper:
 
 def build_dataset(cfg, split: str = "train", load_images: bool = True):
     """Config-driven dataset construction (reference build_dataset via the
-    mmdet3d registry, ``tools/train.py:82-91``)."""
+    mmdet3d registry, ``tools/train.py:82-91``).  With ``use_video`` the
+    frame dataset is wrapped into fixed-length clips."""
+    ds = _build_frames(cfg, split, load_images)
+    if cfg.get("use_video"):
+        from .video import ClipDataset
+
+        return ClipDataset(ds, num_frames=int(cfg.video.num_frames))
+    return ds
+
+
+def _build_frames(cfg, split: str, load_images: bool):
     d = cfg.dataset
     kind = str(d.dataset_type)
     if kind == "SyntheticNuScenes":

@@ -160,7 +160,19 @@ class Attention(nn.Module):
         k = self._proj("to_k", kv, inner)
         v = self._proj("to_v", kv, inner)
         q = heads_split(q)
-        out = multi_head_attention(q, heads_split(k), heads_split(v))
+        if self.is_mutable_collection("intermediates"):
+            # introspection path (reference explore pipeline /
+            # tools/unet_modify.py:7-57): expose attention probabilities via
+            # apply(..., mutable=["intermediates"])
+            logits = jnp.einsum(
+                "bqhd,bkhd->bhqk", q, heads_split(k),
+                preferred_element_type=jnp.float32) * (head_dim ** -0.5)
+            probs = jax.nn.softmax(logits, axis=-1)
+            self.sow("intermediates", "attn_probs", probs)
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype),
+                             heads_split(v))
+        else:
+            out = multi_head_attention(q, heads_split(k), heads_split(v))
         out = out.reshape(b, lq, inner)
 
         if use_adapter:

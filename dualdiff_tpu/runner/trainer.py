@@ -251,6 +251,9 @@ class MultiviewTrainer:
 
     def __init__(self, cfg, train_set, val_set=None, tiny: bool = False,
                  mesh=None):
+        from .. import enable_compilation_cache
+
+        enable_compilation_cache()
         self.cfg = cfg
         self.train_set = train_set
         self.val_set = val_set
@@ -271,9 +274,14 @@ class MultiviewTrainer:
             cfg.runner, self.max_train_steps)
         self.rng = jax.random.PRNGKey(int(cfg.seed))
         self._init_state()
-        self.train_step = jax.jit(make_train_step(
-            self.models, cfg, self.schedule, self.tx, self.latent_hw,
-            self.image_hw), donate_argnums=(0,))
+        # pin state output sharding to the (replicated) input sharding so the
+        # donated state round-trips with identical layout — without this the
+        # second step retraces (one full recompile)
+        repl = replicate(self.mesh)
+        self.train_step = jax.jit(
+            make_train_step(self.models, cfg, self.schedule, self.tx,
+                            self.latent_hw, self.image_hw),
+            donate_argnums=(0,), out_shardings=(repl, repl))
 
     # ------------------------------------------------------------------
     def _compute_steps(self):
@@ -354,11 +362,16 @@ class MultiviewTrainer:
             lambda x: x.astype(cdtype)
             if jnp.issubdtype(x.dtype, jnp.floating) else x, frozen)
         self.frozen = jax.device_put(frozen, replicate(self.mesh))
-        self.state = {
-            "params": jax.device_put(trainable, replicate(self.mesh)),
-            "opt_state": self.tx.init(trainable),
+        # every leaf of the state must carry the same committed sharding the
+        # jitted step outputs (out_shardings=replicated), or the second call
+        # retraces on the sharding mismatch — a full recompile
+        repl = replicate(self.mesh)
+        trainable = jax.device_put(trainable, repl)
+        self.state = jax.device_put({
+            "params": trainable,
+            "opt_state": jax.jit(self.tx.init, out_shardings=repl)(trainable),
             "step": jnp.zeros((), jnp.int32),
-        }
+        }, repl)
 
     # ------------------------------------------------------------------
     def _batches(self, epoch: int):

@@ -53,12 +53,15 @@ class VideoTrainer(MultiviewTrainer):
         self._reward_fn = reward_fn
         super().__init__(cfg, train_set, val_set, tiny=tiny, mesh=mesh)
         rgd = bool(cfg.video.rgd.enable)
+        from ..parallel.mesh import replicate
+
+        repl = replicate(self.mesh)
         self.train_step = jax.jit(make_train_step(
             self.models, cfg, self.schedule, self.tx, self.latent_hw,
             self.image_hw, frames=self.num_frames,
             reward_fn=(reward_fn or default_reward_fn) if rgd else None,
             reward_weight=float(cfg.video.rgd.reward_weight) if rgd else 0.0,
-        ), donate_argnums=(0,))
+        ), donate_argnums=(0,), out_shardings=(repl, repl))
 
     # clip datasets return a list of frames per item -----------------------
     def _collate_items(self, items, rng):

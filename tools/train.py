@@ -15,8 +15,8 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from dualdiff_tpu.data.wrappers import build_dataset
-from dualdiff_tpu.runner.trainer import MultiviewTrainer
 from dualdiff_tpu.runner.validator import Validator
+from dualdiff_tpu.utils.common import load_module
 from dualdiff_tpu.utils.config import load_config, save_config
 
 
@@ -47,7 +47,9 @@ def main(argv=None):
     val_set = build_dataset(cfg, "val")
     log.info("train samples: %d, val: %d", len(train_set), len(val_set))
 
-    trainer = MultiviewTrainer(cfg, train_set, val_set)
+    # dynamic runner class from config (reference tools/train.py:96-97)
+    runner_cls = load_module(str(cfg.model.runner_module))
+    trainer = runner_cls(cfg, train_set, val_set)
     if cfg.resume_from_checkpoint:
         trainer.load_checkpoint(
             str(cfg.resume_from_checkpoint),
