@@ -205,6 +205,8 @@ class NuScenesDataset:
 
         sample = {
             "token": token,
+            "filenames": [info["cams"][c]["data_path"]
+                          for c in self.view_order],
             "location": info.get("location", "unknown"),
             "description": info.get("description", ""),
             "timeofday": info.get("timeofday", ""),

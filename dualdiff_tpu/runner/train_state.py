@@ -104,6 +104,11 @@ def build_optimizer(cfg_runner, max_train_steps: int):
              optax.constant_schedule(peak)], [warmup])
     else:
         sched = optax.constant_schedule(peak)
+    # low-precision first moment: the TPU analog of the reference's optional
+    # AdamW8bit (base_runner.py:221-231) — frees ~1.7GB HBM on the
+    # dual-branch config (which otherwise overflows a v5e by ~80MB)
+    mu_dtype = {"bf16": "bfloat16", "fp32": None}.get(
+        str(cfg_runner.get("adam_mu_dtype", "bf16")), None)
     tx = optax.chain(
         optax.clip_by_global_norm(float(cfg_runner.max_grad_norm)),
         optax.adamw(
@@ -112,6 +117,7 @@ def build_optimizer(cfg_runner, max_train_steps: int):
             b2=float(cfg_runner.adam_beta2),
             eps=float(cfg_runner.adam_epsilon),
             weight_decay=float(cfg_runner.adam_weight_decay),
+            mu_dtype=mu_dtype,
         ),
     )
     if int(cfg_runner.gradient_accumulation_steps) > 1:

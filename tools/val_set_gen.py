@@ -64,12 +64,20 @@ def main(argv=None):
     view_order = list(cfg.dataset.view_order)
     back_resize = tuple(cfg.dataset.back_resize)
     back_pad = tuple(cfg.dataset.back_pad)
+    # naming: token-based (FID pairing) or the original nuScenes filenames
+    # (downstream BEVFusion/CVT eval trees, reference downstream_v3)
+    naming = str(cfg.get("gen_naming", "token"))
     done = skipped = 0
     for idx in range(shard, len(val_set), num_shards):
         sample = val_set[idx]
         token = sample["token"]
-        paths = [os.path.join(out_root, cam, f"{token}_{cam}.png")
-                 for cam in view_order]
+        if naming == "original" and "filenames" in sample:
+            paths = [os.path.join(out_root, cam,
+                                  os.path.basename(sample["filenames"][v]))
+                     for v, cam in enumerate(view_order)]
+        else:
+            paths = [os.path.join(out_root, cam, f"{token}_{cam}.png")
+                     for cam in view_order]
         if all(os.path.exists(p) for p in paths):  # resume
             skipped += 1
             continue
