@@ -254,6 +254,7 @@ class MultiviewTrainer:
         from .. import enable_compilation_cache
 
         enable_compilation_cache()
+        tiny = tiny or bool(cfg.get("tiny_models", False))
         self.cfg = cfg
         self.train_set = train_set
         self.val_set = val_set
@@ -424,7 +425,24 @@ class MultiviewTrainer:
         log.info("saved checkpoint %s", path)
         return path
 
+    def latest_checkpoint(self) -> Optional[str]:
+        """Newest checkpoint-<step> dir under log_root (auto-resume)."""
+        root = self.cfg.log_root or "."
+        if not os.path.isdir(root):
+            return None
+        cands = [d for d in os.listdir(root) if d.startswith("checkpoint-")]
+        if not cands:
+            return None
+        step = max(int(d.split("-")[1]) for d in cands
+                   if d.split("-")[1].isdigit())
+        return os.path.abspath(os.path.join(root, f"checkpoint-{step}"))
+
     def load_checkpoint(self, path: str, reset_scheduler: bool = False):
+        if path == "latest":
+            path = self.latest_checkpoint()
+            if path is None:
+                log.warning("no checkpoint found for resume=latest; fresh run")
+                return
         ckptr = ocp.StandardCheckpointer()
         target = {
             "params": jax.device_get(self.state["params"]),

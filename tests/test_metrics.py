@@ -60,3 +60,39 @@ def test_concat_6_views():
     assert grid[0, 0, 0] == 0 and grid[4, 0, 0] == 3
     line = concat_6_views(imgs, oneline=True)
     assert line.shape == (4, 48, 3)
+
+
+def test_fvd_features_and_ordering():
+    from dualdiff_tpu.metrics.fvd import clip_features_from_frames, fvd_from_features
+
+    rng = np.random.default_rng(2)
+    base = rng.normal(size=(50, 8, 16))
+    near = base + rng.normal(size=base.shape) * 0.05
+    # temporally scrambled clips: same appearance, different dynamics
+    scrambled = base[:, rng.permutation(8)]
+    f_base = clip_features_from_frames(base)
+    assert f_base.shape == (50, 48)
+    d_near = fvd_from_features(f_base, clip_features_from_frames(near))
+    d_scram = fvd_from_features(f_base, clip_features_from_frames(scrambled))
+    assert d_near < d_scram  # dynamics difference detected
+
+
+def test_random_flip_consistency():
+    from dualdiff_tpu.data.augment import random_flip_3d_with_views
+    from dualdiff_tpu.data.synthetic import SyntheticNuScenes
+    from dualdiff_tpu.ops.boxes import box_corners, trans_box_corners_to_view
+
+    s = SyntheticNuScenes(num_samples=1)[0]
+    rng = np.random.default_rng(0)
+    f = random_flip_3d_with_views(s, rng, flip_ratio=1.0)
+    assert f["img"].shape == s["img"].shape
+    # flipped front camera is the original front camera mirrored
+    np.testing.assert_allclose(f["img"][1], s["img"][1, :, ::-1], atol=1e-6)
+    # geometric consistency: lidar2image == intrinsics @ lidar2camera
+    np.testing.assert_allclose(
+        f["lidar2image"], f["camera_intrinsics"] @ f["lidar2camera"],
+        rtol=1e-4, atol=1e-3)
+    # a box in front (x>0, y>0) lands mirrored: project into the new rig
+    corners = box_corners(f["gt_bboxes_3d"][:1], origin=(0.5, 0.5, 0.5))
+    proj = trans_box_corners_to_view(corners, f["lidar2image"][1], proj=False)
+    assert np.isfinite(proj).all()
