@@ -329,8 +329,13 @@ class BasicTransformerBlock(nn.Module):
         kv_right = jnp.take(h, right, axis=1).reshape(bn, l, d)
         q = h.reshape(bn, l, d)
         if self.neighboring_attn_type == "add":
-            # sum of per-neighbor attention outputs (reference blocks.py:209-217)
-            out = attn4(q, kv_left) + attn4(q, kv_right)
+            # sum of per-neighbor attention outputs (reference blocks.py:
+            # 209-217), computed as ONE batched attention over the stacked
+            # neighbor axis — halves kernel launches on TPU
+            q2 = jnp.concatenate([q, q], axis=0)
+            kv2 = jnp.concatenate([kv_left, kv_right], axis=0)
+            out2 = attn4(q2, kv2)
+            out = out2[:bn] + out2[bn:]
         elif self.neighboring_attn_type == "concat":
             out = attn4(q, jnp.concatenate([kv_left, kv_right], axis=1))
         else:

@@ -269,11 +269,15 @@ def flash_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     scale: Optional[float] = None,
-    block_q: int = 256,
-    block_k: int = 256,
+    block_q: int = 512,
+    block_k: int = 512,
 ) -> jnp.ndarray:
     """Pallas flash attention (fwd + custom-VJP bwd).
-    q,k,v: (B, L, H, Dh) -> (B, Lq, H, Dh)."""
+    q,k,v: (B, L, H, Dh) -> (B, Lq, H, Dh).
+
+    head_dim stays NATIVE (no HBM-side lane padding — the MXU pads the
+    contraction internally); only the sequence axis is padded to the block
+    size.  Bigger default blocks cut redundant K/V reloads."""
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     b, lq, h, d = q.shape
@@ -283,13 +287,12 @@ def flash_attention(
 
     def to_bh(x, block):
         x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, x.shape[1], d)
-        x = _pad_to(x, 1, block)
-        return _pad_to(x, 2, 128)
+        return _pad_to(x, 1, block)
 
     qb, kb, vb = to_bh(q, block_q), to_bh(k, block_k), to_bh(v, block_k)
     out = _flash_padded(qb, kb, vb, float(scale), (lq, lk),
                         (block_q, block_k))
-    out = out[:, :lq, :d].reshape(b, h, lq, d)
+    out = out[:, :lq].reshape(b, h, lq, d)
     return jnp.transpose(out, (0, 2, 1, 3))
 
 

@@ -36,9 +36,18 @@ __all__ = ["BEVControlNetPipeline"]
 
 class BEVControlNetPipeline:
     def __init__(self, cfg, models: Dict, params: Dict,
-                 schedule: Optional[DiffusionSchedule] = None):
+                 schedule: Optional[DiffusionSchedule] = None,
+                 cast_params: bool = True):
         self.cfg = cfg
         self.models = models
+        if cast_params:
+            # inference weights in compute precision: halves HBM weight
+            # streaming per denoise step (the dominant cost at small batch)
+            dtype = models.get("dtype", jnp.bfloat16)
+            params = jax.tree_util.tree_map(
+                lambda x: x.astype(dtype)
+                if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+                else x, params)
         self.params = params
         self.schedule = schedule or DiffusionSchedule.create()
         h, w = cfg.dataset.image_size
