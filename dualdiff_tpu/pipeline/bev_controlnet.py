@@ -119,9 +119,16 @@ class BEVControlNetPipeline:
             text, text]) if not aug_text else jnp.concatenate([text, text])
         switch = jnp.concatenate(
             [jnp.ones((B, N)), jnp.zeros((B, N))])  # first half -> uncond
+        zero_map_uncond = bool(self.cfg.runner.pipeline_param.get(
+            "use_zero_map_as_unconditional", False))
         conds2 = []
         for c in conds:
-            conds2.append(None if c is None else jnp.concatenate([c, c]))
+            if c is None:
+                conds2.append(None)
+            elif zero_map_uncond:  # reference pipeline_param flag
+                conds2.append(jnp.concatenate([jnp.zeros_like(c), c]))
+            else:
+                conds2.append(jnp.concatenate([c, c]))
         boxes2 = {}
         for i in range(len(controlnets)):
             bx = batch.get(f"boxes_{i}")

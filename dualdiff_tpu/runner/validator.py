@@ -52,10 +52,21 @@ class Validator:
             sample = self.val_dataset[idx]
             batch = collate_fn([sample], cfg, self.tokenizer, is_train=False,
                                rng=np.random.default_rng(int(cfg.seed)))
+            show_box = bool(cfg.runner.validation_show_box)
             for t in range(times):
-                rng = jax.random.PRNGKey(int(cfg.seed) + t)
+                seed = int(cfg.seed) + (t if bool(
+                    cfg.runner.validation_seed_global) else idx * 100 + t)
+                rng = jax.random.PRNGKey(seed)
                 imgs = np.asarray(pipe(batch, rng))  # (1, 6, H, W, 3)
-                grid = concat_6_views(imgs[0])
+                views = (imgs[0] * 255).astype(np.uint8)
+                if show_box and len(sample.get("gt_bboxes_3d", [])):
+                    from .visualize import draw_boxes_on_views
+
+                    views = draw_boxes_on_views(
+                        views, sample["gt_bboxes_3d"],
+                        sample["gt_labels_3d"], sample["lidar2image"],
+                        sample.get("img_aug_matrix"))
+                grid = concat_6_views(views.astype(np.float32) / 255.0)
                 outs.append(grid)
                 if writer is not None:
                     writer.add_image(

@@ -121,3 +121,33 @@ def test_collate_inference_without_images(ds):
     batch = collate_fn(samples, cfg, tok, is_train=False)
     assert "pixel_values" not in batch
     assert batch["branches"][0]["cond"] is not None
+
+
+def test_clip_bpe_tokenizer_with_mini_vocab(tmp_path):
+    """Exercise the real BPE code path with a miniature vocab."""
+    import json
+
+    from dualdiff_tpu.data.tokenizer import CLIPBPETokenizer, build_tokenizer
+
+    # byte-level symbols for ascii letters survive bytes_to_unicode unchanged
+    words = ["a", "b", "c", "d", "r", "i", "v", "e", "n", "g",
+             "a</w>", "b</w>", "c</w>", "d</w>", "r</w>", "i</w>", "v</w>",
+             "e</w>", "n</w>", "g</w>", "dr", "dri", "driv", "drive</w>"]
+    vocab = {w: i for i, w in enumerate(words)}
+    vocab["<|startoftext|>"] = 49406
+    vocab["<|endoftext|>"] = 49407
+    merges = "#version\nd r\ndr i\ndri v\ndriv e</w>\n"
+    (tmp_path / "vocab.json").write_text(json.dumps(vocab))
+    (tmp_path / "merges.txt").write_text(merges)
+    tok = CLIPBPETokenizer(str(tmp_path / "vocab.json"),
+                           str(tmp_path / "merges.txt"))
+    ids = tok.encode("drive")
+    assert ids == [vocab["drive</w>"]]  # merges collapsed the word
+    ids2 = tok.encode("vice")  # no merges -> per-char with end-of-word
+    assert ids2 == [vocab["v"], vocab["i"], vocab["c"], vocab["e</w>"]]
+    batch = tok(["drive"])
+    assert batch.shape == (1, 77)
+    assert batch[0, 0] == 49406 and batch[0, 2] == 49407
+
+    found = build_tokenizer(str(tmp_path))
+    assert isinstance(found, CLIPBPETokenizer)

@@ -21,6 +21,13 @@ from dualdiff_tpu.utils.config import load_config, save_config
 
 
 def main(argv=None):
+    # multi-host data parallelism (the reference's multi-node accelerate
+    # launch): initialize the jax distributed runtime when a coordinator is
+    # configured, then the (data, view) mesh spans all hosts' devices.
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        import jax
+
+        jax.distributed.initialize()
     overrides = list(argv if argv is not None else sys.argv[1:])
     cfg = load_config(
         os.path.join(os.path.dirname(__file__), "..", "configs"),
