@@ -89,14 +89,21 @@ def main():
                 [jnp.zeros_like(bx["masks"]), bx["masks"]]),
         })
 
-    def model_fn(params, x, tt):
+    def precompute(params):
+        dummy = jnp.zeros((2 * B, N, LH, LW, 4))
+        return [cn.apply({"params": params[f"controlnet_{i}"]},
+                         dummy, jnp.zeros((2 * B,), jnp.int32), cam2, text2,
+                         conds2[i], bboxes_3d=boxes2[i], precompute_only=True)
+                for i, cn in enumerate(cns)]
+
+    def model_fn(params, pre, x, tt):
         x2 = jnp.concatenate([x, x])
         t2 = jnp.full((2 * B,), tt, jnp.int32)
         downs = mid = kvv = None
         for i, cn in enumerate(cns):
             d, m, k = cn.apply({"params": params[f"controlnet_{i}"]},
                                x2, t2, cam2, text2, conds2[i],
-                               bboxes_3d=boxes2[i])
+                               precomputed=pre[i])
             if downs is None:
                 downs, mid, kvv = d, m, k
             else:
@@ -114,7 +121,9 @@ def main():
     def generate(params, rng):
         lat0 = jax.random.normal(rng, (B, 1, LH, LW, 4))
         lat0 = jnp.broadcast_to(lat0, (B, N, LH, LW, 4))
-        lat = unipc_sample(schedule, lambda x, tt: model_fn(params, x, tt),
+        pre = precompute(params)  # step-constant conditioning, outside scan
+        lat = unipc_sample(schedule,
+                           lambda x, tt: model_fn(params, pre, x, tt),
                            lat0, num_inference_steps=STEPS)
         img = vae.apply({"params": params["vae_dec"]},
                         lat.reshape(B * N, LH, LW, 4), method=vae.decode)

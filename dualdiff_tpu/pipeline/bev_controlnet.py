@@ -151,6 +151,21 @@ class BEVControlNetPipeline:
         if conditional_latents is not None and conditional_mask is not None:
             rng, r_cl = jax.random.split(rng)
 
+        # hoist step-constant conditioning (cond embedding, SFA fusion,
+        # cam/text/box tokens) out of the 20-step loop — the reference
+        # recomputes them every denoising step
+        dummy = jnp.zeros((2 * B, N, lh, lw, 4), jnp.float32)
+        pre = []
+        for i, cn in enumerate(controlnets):
+            pre.append(cn.apply(
+                {"params": params[f"controlnet_{i}"]},
+                dummy, jnp.zeros((2 * B,), jnp.int32), cam2, text2, conds2[i],
+                bboxes_3d=boxes2[i],
+                encoder_hidden_states_uncond=uncond,
+                uncond_switch=switch,
+                precompute_only=True,
+            ))
+
         def model_fn(x, t):
             x2 = jnp.concatenate([x, x])  # (2B, N, lh, lw, 4)
             t2 = jnp.full((2 * B,), t, jnp.int32)
@@ -159,9 +174,7 @@ class BEVControlNetPipeline:
                 d, m, k = cn.apply(
                     {"params": params[f"controlnet_{i}"]},
                     x2, t2, cam2, text2, conds2[i],
-                    bboxes_3d=boxes2[i],
-                    encoder_hidden_states_uncond=uncond,
-                    uncond_switch=switch,
+                    precomputed=pre[i],
                     conditioning_scale=conditioning_scale,
                 )
                 if downs is None:

@@ -90,7 +90,7 @@ def main(argv=None):
                 img = spatial.reshape(-1, int(spatial.size // side))
             except Exception:
                 continue
-            img = (img - img.min()) / (img.ptp() + 1e-8)
+            img = (img - img.min()) / (np.ptp(img) + 1e-8)
             im = Image.fromarray((img * 255).astype(np.uint8)).resize(
                 (lw * 8, lh * 8), Image.NEAREST)
             im.save(os.path.join(out_dir, f"{tag}.{name}.png"))
