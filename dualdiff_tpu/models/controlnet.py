@@ -61,6 +61,9 @@ class BEVControlNet(nn.Module):
     # SFA
     use_txt_con_fusion: bool = False
     use_txt_con_fusionp: bool = False
+    # camera token fused into the time embedding (the reference ships
+    # occ_bg_camtemb configs but its runtime asserts False; supported here)
+    use_cam_in_temb: bool = False
     # bbox embedder
     bbox_mode: str = "all-xyz"
     bbox_num_points: Optional[int] = None
@@ -101,7 +104,8 @@ class BEVControlNet(nn.Module):
         if precomputed is not None:
             return self._encode(
                 sample, timesteps, precomputed["kv"], precomputed["cond"],
-                B, N, conditioning_scale, guess_mode)
+                B, N, conditioning_scale, guess_mode,
+                cam_tok=precomputed.get("cam_tok"))
 
         # --- 0. camera token + hidden-state assembly -----------------------
         cam2token = nn.Dense(self.camera_out_dim, dtype=self.dtype, name="cam2token")
@@ -219,13 +223,19 @@ class BEVControlNet(nn.Module):
         if self.use_txt_con_fusionp:
             cond = SFATxtConPlus(con_dim=chs[0], dtype=self.dtype,
                                  name="txt_con_fusionp")(cond, states[:, 1:])
+        cam_tok_flat = cam_tok.reshape(B * N, -1) if self.use_cam_in_temb \
+            else None
         if precompute_only:
-            return {"cond": cond, "kv": kv_internal}
+            out = {"cond": cond, "kv": kv_internal}
+            if cam_tok_flat is not None:
+                out["cam_tok"] = cam_tok_flat
+            return out
         return self._encode(sample, timesteps, kv_internal, cond, B, N,
-                            conditioning_scale, guess_mode)
+                            conditioning_scale, guess_mode,
+                            cam_tok=cam_tok_flat)
 
     def _encode(self, sample, timesteps, kv_internal, cond, B, N,
-                conditioning_scale, guess_mode):
+                conditioning_scale, guess_mode, cam_tok=None):
         """Time tower + conv_in + encoder blocks + zero-conv heads (the
         per-step work)."""
         chs = list(self.block_out_channels)
@@ -243,6 +253,12 @@ class BEVControlNet(nn.Module):
                                 name="time_embedding")(t_emb)
         if emb.shape[0] < B * N:
             emb = jnp.repeat(emb, N, axis=0)
+        if self.use_cam_in_temb and cam_tok is not None:
+            # adm_proj (reference unet_addon_rawbox.py:297-303,953-958)
+            z = jnp.concatenate([cam_tok.astype(emb.dtype), emb], axis=-1)
+            z = nn.Dense(chs[0] * 4, dtype=self.dtype, name="adm_proj_0")(z)
+            z = nn.silu(z)
+            emb = nn.Dense(chs[0] * 4, dtype=self.dtype, name="adm_proj_2")(z)
 
         x = sample.reshape(B * N, *sample.shape[2:]).astype(self.dtype)
         x = nn.Conv(chs[0], (3, 3), padding=1, dtype=self.dtype,

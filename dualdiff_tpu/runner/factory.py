@@ -86,6 +86,7 @@ def build_models(cfg, tiny: bool = False) -> Dict:
             conditioning_embedding_out_channels=cond_chs,
             use_txt_con_fusion=bool(c.use_txt_con_fusion),
             use_txt_con_fusionp=bool(c.use_txt_con_fusionp),
+            use_cam_in_temb=bool(c.use_cam_in_temb),
             bbox_mode=str(cfg.model.bbox_mode),
             bbox_num_points=spec.map_vec_points if spec.use_map_vec else None,
             bbox_n_classes=int(c.bbox_embedder_param.n_classes),
