@@ -110,3 +110,24 @@ def test_default_reward_fn():
     r_same = default_reward_fn(a, a, {})
     r_diff = default_reward_fn(a, b, {})
     assert float(r_same.mean()) > float(r_diff.mean())
+
+
+def test_video_pipeline_generate(clips):
+    """Clip generation through the standard pipeline: frames fold into the
+    batch dim (frame-outer), ST-Attn/temporal couple them inside the UNet."""
+    import jax.numpy as jnp
+
+    from dualdiff_tpu.pipeline.bev_controlnet import BEVControlNetPipeline
+    from dualdiff_tpu.runner.train_state import merge_params
+
+    cfg = _cfg("video_16f")
+    trainer = VideoTrainer(cfg, clips, tiny=True)
+    params = merge_params(jax.device_get(trainer.state["params"]),
+                          jax.device_get(trainer.frozen))
+    pipe = BEVControlNetPipeline(cfg, trainer.models, params,
+                                 trainer.schedule)
+    batch = trainer._collate_items([clips[0]], np.random.default_rng(0))
+    imgs = pipe(batch, jax.random.PRNGKey(0))
+    h, w = IMG
+    assert imgs.shape == (F, 6, h, w, 3)  # one clip: F frames x 6 views
+    assert np.isfinite(np.asarray(imgs)).all()
