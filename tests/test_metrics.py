@@ -96,3 +96,26 @@ def test_random_flip_consistency():
     corners = box_corners(f["gt_bboxes_3d"][:1], origin=(0.5, 0.5, 0.5))
     proj = trans_box_corners_to_view(corners, f["lidar2image"][1], proj=False)
     assert np.isfinite(proj).all()
+
+
+def test_xplane_trace_parser(tmp_path):
+    """The profiler-trace reader parses a real capture (CPU plane)."""
+    import glob
+
+    import jax
+    import jax.numpy as jnp
+
+    from dualdiff_tpu.utils.xplane import parse_xspace, summarize_trace
+
+    f = jax.jit(lambda x: jnp.sin(x) @ x.T)
+    x = jnp.ones((128, 128))
+    _ = f(x)
+    jax.profiler.start_trace(str(tmp_path))
+    _ = f(x).block_until_ready()
+    jax.profiler.stop_trace()
+    files = glob.glob(str(tmp_path / "plugins/profile/*/*.xplane.pb"))
+    assert files, "no trace written"
+    planes = parse_xspace(files[-1])
+    assert planes and any(p["lines"] for p in planes)
+    tops = summarize_trace(str(tmp_path), plane_filter="")
+    assert tops and tops[0][1] > 0
