@@ -114,3 +114,41 @@ def test_overfit_single_sample(tmp_path_factory):
     first = np.mean(losses[:5])
     last = np.mean(losses[-5:])
     assert last < first * 0.75, f"no learning: {first:.4f} -> {last:.4f}"
+
+
+def test_gradient_accumulation_path(ds, tmp_path_factory):
+    cfg = _cfg("224x400")
+    cfg.log_root = str(tmp_path_factory.mktemp("accum"))
+    cfg.runner.gradient_accumulation_steps = 2
+    trainer = MultiviewTrainer(cfg, ds, tiny=True)
+    metrics = trainer.run(max_steps=2)
+    assert np.isfinite(metrics["loss"])
+
+
+def test_resume_into_fresh_trainer(ds, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("resume"))
+    cfg = _cfg("224x400")
+    cfg.log_root = root
+    t1 = MultiviewTrainer(cfg, ds, tiny=True)
+    t1.run(max_steps=2)
+    path = t1.save_checkpoint()
+    p1 = jax.device_get(t1.state["params"])
+    del t1
+
+    cfg2 = _cfg("224x400")
+    cfg2.log_root = root
+    cfg2.runner.max_train_steps = 3  # debug caps at 2; allow one more step
+    t2 = MultiviewTrainer(cfg2, ds, tiny=True)
+    t2.load_checkpoint("latest")  # auto-resolves to the saved step
+    assert int(t2.state["step"]) == 2
+    p2 = jax.device_get(t2.state["params"])
+    import flax
+
+    f1 = flax.traverse_util.flatten_dict(p1)
+    f2 = flax.traverse_util.flatten_dict(p2)
+    assert set(f1) == set(f2)
+    k = sorted(f1)[0]
+    np.testing.assert_allclose(np.asarray(f1[k]), np.asarray(f2[k]))
+    # training continues from the restored state
+    m = t2.run(max_steps=3)
+    assert np.isfinite(m["loss"]) and int(t2.state["step"]) == 3
