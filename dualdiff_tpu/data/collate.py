@@ -96,6 +96,41 @@ def _pad_map_vec(examples, max_len: int, n_points: int) -> Optional[Dict]:
     return {"bboxes": boxes, "classes": classes, "masks": masks}
 
 
+def _fit_occ_panorama(img: np.ndarray, image_size) -> np.ndarray:
+    """Adapt a cached occ-projection panorama (H, 6W, 3) to the run's image
+    size (reference collate hd_crop / crop_drivewm, dataset/utils.py:
+    348-408): 432x768 caches crop to 256x704 (top-crop h, center-crop w);
+    224x400 caches map to 192x384 via pad-top -> resize -> top-crop."""
+    th, tw = int(image_size[0]), int(image_size[1])
+    h, w6 = img.shape[:2]
+    w = w6 // 6
+    if (h, w) == (th, tw):
+        return img
+    views = [img[:, i * w:(i + 1) * w] for i in range(6)]
+
+    def hd_crop(v, oh, ow):
+        hc = v.shape[0] - oh
+        wc = (v.shape[1] - ow) // 2
+        return v[hc:, wc:v.shape[1] - wc][:, :ow]
+
+    if (th, tw) == (192, 384) and (h, w) == (224, 400):
+        from PIL import Image
+
+        out = []
+        for v in views:
+            pad = np.zeros((225, 400, v.shape[-1]), v.dtype)
+            pad[1:] = v
+            arr = np.asarray(Image.fromarray(
+                (pad * 255).astype(np.uint8)).resize((384, 216)),
+                np.float32) / 255.0
+            out.append(hd_crop(arr, 192, 384))
+        return np.concatenate(out, axis=1)
+    # generic: top-crop h, center-crop w (the 432x768 -> 256x704 path)
+    assert h >= th and w >= tw, (
+        f"occ panorama {h}x{w} smaller than target {th}x{tw}")
+    return np.concatenate([hd_crop(v, th, tw) for v in views], axis=1)
+
+
 def _build_captions(examples, template: str, aug_text: bool,
                     bbox_classes: Optional[np.ndarray],
                     object_classes: Sequence[str], n_cam: int) -> List[str]:
@@ -190,8 +225,10 @@ def collate_fn(
         if spec.cond_kind == "bev_map":
             branch["cond"] = out["bev_map"]
         elif spec.cond_kind == "occ_image":
-            branch["cond"] = np.stack(
-                [ex["occ_proj_image"] for ex in examples])
+            branch["cond"] = np.stack([
+                _fit_occ_panorama(ex["occ_proj_image"],
+                                  cfg.dataset.image_size)
+                for ex in examples])
         else:  # occ_3d: device-side ORS; ship raw inputs once
             branch["cond"] = None
             if "occ_labels" not in out:

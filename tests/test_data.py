@@ -151,3 +151,22 @@ def test_clip_bpe_tokenizer_with_mini_vocab(tmp_path):
 
     found = build_tokenizer(str(tmp_path))
     assert isinstance(found, CLIPBPETokenizer)
+
+
+def test_occ_panorama_size_adaptation():
+    from dualdiff_tpu.data.collate import _fit_occ_panorama
+
+    rng = np.random.default_rng(0)
+    # 432x768 cache -> 256x704 (hd_crop path)
+    pano = rng.random((432, 768 * 6, 3)).astype(np.float32)
+    out = _fit_occ_panorama(pano, (256, 704))
+    assert out.shape == (256, 704 * 6, 3)
+    # view 0 content comes from the bottom-center of cache view 0
+    np.testing.assert_allclose(out[:, :704],
+                               pano[176:, 32:736])
+    # 224x400 cache -> 192x384 (drive-wm path)
+    pano2 = rng.random((224, 400 * 6, 3)).astype(np.float32)
+    out2 = _fit_occ_panorama(pano2, (192, 384))
+    assert out2.shape == (192, 384 * 6, 3)
+    # same size passes through untouched
+    np.testing.assert_array_equal(_fit_occ_panorama(pano2, (224, 400)), pano2)
