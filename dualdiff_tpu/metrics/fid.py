@@ -12,7 +12,7 @@ comparable to published FID numbers).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Iterable, Optional, Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax

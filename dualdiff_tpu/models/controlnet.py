@@ -25,7 +25,6 @@ from typing import Any, Dict, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
-import numpy as np
 
 from .embedders import (
     BBoxEmbedder,

@@ -16,7 +16,7 @@ the reference's UNet and BEVControlNet (reference
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -27,10 +27,6 @@ from ..ops.attention import multi_head_attention
 from ..ops.fourier import timestep_embedding
 
 Dtype = Any
-
-
-def zeros_init():
-    return nn.initializers.zeros
 
 
 class TimestepEmbedding(nn.Module):

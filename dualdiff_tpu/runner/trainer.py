@@ -17,12 +17,10 @@ TPU-native redesign of the reference ``MultiviewRunner`` /
 
 from __future__ import annotations
 
-import dataclasses
 import logging
 import os
 import time
-from functools import partial
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import flax
 import jax
