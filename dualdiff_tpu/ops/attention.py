@@ -264,24 +264,40 @@ def _flash_padded_bwd(scale, lens, blocks, res, g):
 _flash_padded.defvjp(_flash_padded_fwd, _flash_padded_bwd)
 
 
+def _auto_blocks(lq: int, lk: int, score_cap: int = 2 * 1024 * 1024):
+    """Whole-sequence blocks when the (bq, bk) fp32 score tile fits VMEM
+    (one K/V load per head — measured fastest at SD shapes); otherwise cap
+    bq so bq*bk stays under ~8MB of scores."""
+    up = lambda x: -(-x // 128) * 128
+    bk = up(lk)
+    bq = up(lq)
+    if bq * bk > score_cap:
+        bk = min(bk, 1536)
+        bq = max(128, (score_cap // bk) // 128 * 128)
+    return bq, bk
+
+
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
     scale: Optional[float] = None,
-    block_q: int = 512,
-    block_k: int = 512,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
 ) -> jnp.ndarray:
     """Pallas flash attention (fwd + custom-VJP bwd).
     q,k,v: (B, L, H, Dh) -> (B, Lq, H, Dh).
 
     head_dim stays NATIVE (no HBM-side lane padding — the MXU pads the
     contraction internally); only the sequence axis is padded to the block
-    size.  Bigger default blocks cut redundant K/V reloads."""
+    size."""
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     b, lq, h, d = q.shape
     lk = k.shape[1]
+    abq, abk = _auto_blocks(lq, lk)
+    block_q = block_q or abq
+    block_k = block_k or abk
     block_q = min(block_q, max(128, 1 << (lq - 1).bit_length()))
     block_k = min(block_k, max(128, 1 << (lk - 1).bit_length()))
 
