@@ -197,9 +197,9 @@ def _flash_padded_fwd(qb, kb, vb, scale, lens, blocks):
 def _flash_padded_bwd(scale, lens, blocks, res, g):
     qb, kb, vb, out, lse = res
     lq, lk = lens
-    block_q, block_k = blocks
     bh, lq_p, d_p = qb.shape
     lk_p = kb.shape[1]
+    block_q, block_k = _bwd_blocks(blocks[0], blocks[1], lq_p, lk_p)
     g = g.astype(jnp.float32)
     delta = jnp.sum(g * out.astype(jnp.float32), axis=-1)  # (bh, lq_p)
     delta = jnp.broadcast_to(delta[..., None], (*delta.shape, 128))
@@ -267,13 +267,23 @@ _flash_padded.defvjp(_flash_padded_fwd, _flash_padded_bwd)
 def _auto_blocks(lq: int, lk: int, score_cap: int = 2 * 1024 * 1024):
     """Whole-sequence blocks when the (bq, bk) fp32 score tile fits VMEM
     (one K/V load per head — measured fastest at SD shapes); otherwise cap
-    bq so bq*bk stays under ~8MB of scores."""
-    up = lambda x: -(-x // 128) * 128
+    bq so bq*bk stays under ~8MB of scores.  Sequences pad to 512-multiples
+    so the backward can always drop to 512 blocks (its temporaries need
+    ~2.5x the score tile and VMEM-OOM at whole-sequence blocks)."""
+    up = lambda x: -(-x // 512) * 512 if x > 128 else 128
     bk = up(lk)
     bq = up(lq)
     if bq * bk > score_cap:
         bk = min(bk, 1536)
         bq = max(128, (score_cap // bk) // 128 * 128)
+    return bq, bk
+
+
+def _bwd_blocks(block_q: int, block_k: int, lq_p: int, lk_p: int):
+    """Smaller blocks for the backward kernels (must divide the padded
+    lengths chosen by the forward)."""
+    bq = 512 if (block_q > 512 and lq_p % 512 == 0) else block_q
+    bk = 512 if (block_k > 512 and lk_p % 512 == 0) else block_k
     return bq, bk
 
 
