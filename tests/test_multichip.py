@@ -1,0 +1,66 @@
+"""Real dp>1 sharded training: one train step with B=4 over a
+``{data: 4, view: 2}`` mesh (the 8 virtual CPU devices from conftest).
+
+This is the in-suite twin of ``__graft_entry__.dryrun_multichip`` — it
+asserts that batch leaves actually carry ``P('data', 'view')`` shardings
+(not the replication fallback) and that the sharded step produces a finite
+loss with replicated parameters.  Reference analog: the DDP prepare path,
+``MD/magicdrive/runner/multiview_runner.py:291-306``.
+"""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from dualdiff_tpu.data.synthetic import SyntheticNuScenes
+from dualdiff_tpu.parallel.mesh import create_mesh, shard_batch
+from dualdiff_tpu.runner.trainer import MultiviewTrainer
+from dualdiff_tpu.utils.config import load_config
+
+CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
+IMG = [32, 48]
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh from conftest")
+    return create_mesh(data=4, view=2)
+
+
+@pytest.fixture(scope="module")
+def trainer(mesh, tmp_path_factory):
+    cfg = load_config(CONFIG_DIR, overrides=[
+        "+exp=224x400", "runner=debug", f"dataset.image_size={IMG}",
+        "runner.train_batch_size=4"])
+    cfg.log_root = str(tmp_path_factory.mktemp("multichip"))
+    ds = SyntheticNuScenes(num_samples=8, image_size=tuple(IMG))
+    return MultiviewTrainer(cfg, ds, tiny=True, mesh=mesh)
+
+
+def test_batch_leaves_carry_data_view_sharding(mesh, trainer):
+    batch = next(trainer._batches(epoch=0))
+    sharded = shard_batch(batch, mesh)
+
+    def spec_of(x):
+        return x.sharding.spec if hasattr(x, "sharding") else None
+
+    # The camera-image leaf is (B, 6, H, W, 3): dp over data, cams over view.
+    pixel = sharded["pixel_values"]
+    assert spec_of(pixel) == P("data", "view"), spec_of(pixel)
+    # Non-camera batched leaves are dp-sharded on the batch dim.
+    assert spec_of(sharded["bev_map"])[0] == "data"
+    # Confirm this is NOT the replication fallback: shards differ per device.
+    dev_shapes = {s.data.shape for s in pixel.addressable_shards}
+    assert dev_shapes == {(1, 3) + pixel.shape[2:]}, dev_shapes
+
+
+def test_dp4_view2_train_step(mesh, trainer):
+    metrics = trainer.run(max_steps=1)
+    assert np.isfinite(metrics["loss"])
+    # Params must be replicated (grads all-reduced by XLA's psum).
+    some_leaf = jax.tree_util.tree_leaves(trainer.state["params"])[0]
+    assert some_leaf.sharding.is_fully_replicated
