@@ -7,9 +7,12 @@ Replaces the reference's mmdet3d ``NuScenesDatasetM`` + mmcv pipeline
 ``tools/data_converter/nuscenes_converter.py:197-249``), loads + resizes the
 6 camera images (the deterministic ImageAug3D path: resize by
 ``augment2d.resize`` mean, crop bottom ``final_dim``), assembles camera
-matrices, and reads BEV masks from the h5 cache produced by
-``tools/prepare_map_aux.py`` (live NuScenesMap rasterization needs the
-nuscenes-devkit + map assets and is intentionally cache-first here).
+matrices, and loads BEV masks cache-first (h5 from
+``tools/prepare_map_aux.py``), falling back to live NuScenesMap
+rasterization via the shared ``data/bev_raster.py`` core when the devkit +
+map assets + pose matrices are available — and otherwise raising rather
+than training on silent zero conditioning (reference cache-then-live order:
+``magicdrive/dataset/pipeline.py:308-330``).
 """
 
 from __future__ import annotations
@@ -58,6 +61,8 @@ class NuScenesDataset:
         map_vec_root: Optional[str] = None,
         visibility_threshold: int = 1,
         load_images: bool = True,
+        missing_bev: str = "error",  # error | zeros
+        load_bev: bool = True,
     ):
         with open(ann_file, "rb") as f:
             data = pickle.load(f)
@@ -77,7 +82,13 @@ class NuScenesDataset:
         self.map_vec_root = map_vec_root
         self.visibility_threshold = visibility_threshold
         self.load_images = load_images
+        assert missing_bev in ("error", "zeros"), missing_bev
+        self.missing_bev = missing_bev
+        self.load_bev = load_bev
         self._h5 = None
+        self._nusc_maps = {}  # location -> NuScenesMap (live-raster path)
+        self._live_memo = {}  # token -> (C, 200, 200) uint8
+        self._warned_zero_bev = False
 
     def __len__(self) -> int:
         return len(self.infos)
@@ -107,7 +118,12 @@ class NuScenesDataset:
         m[1, 3] = -(max(rh - h, 0))
         return m
 
-    def _bev_masks(self, token: str) -> np.ndarray:
+    def _bev_masks(self, info: Dict, boxes7d: np.ndarray,
+                   labels: np.ndarray) -> np.ndarray:
+        """(18, 200, 200) BEV masks: h5 cache -> live rasterization ->
+        hard error (never silent zeros; reference LoadBEVSegmentationM has
+        the same cache-then-live order, ``pipeline.py:308-330``)."""
+        token = info["token"]
         if self.cache_file:
             import h5py
 
@@ -116,7 +132,69 @@ class NuScenesDataset:
             if token in self._h5:
                 packed = np.asarray(self._h5[token])
                 return self._unpack(packed)
-        return np.zeros((18, 200, 200), np.uint8)
+        live = self._live_bev_masks(info, boxes7d, labels)
+        if live is not None:
+            return live
+        if self.missing_bev == "zeros":
+            if not self._warned_zero_bev:
+                self._warned_zero_bev = True
+                log.warning(
+                    "BEV mask cache miss for %s and live rasterization "
+                    "unavailable — returning ZERO masks (missing_bev=zeros; "
+                    "no branch conditions on bev_map in this config).", token)
+            return np.zeros((18, 200, 200), np.uint8)
+        raise RuntimeError(
+            f"BEV masks unavailable for sample {token}: not in cache "
+            f"({self.cache_file!r}) and live rasterization needs the "
+            "nuscenes-devkit map expansion plus ego2global/lidar2ego in the "
+            "infos pkl (re-run tools/create_data.py) — refusing to train on "
+            "all-zero map conditioning. Prebuild the cache with "
+            "tools/prepare_map_aux.py or set dataset.missing_bev=zeros if "
+            "the bev_map branch is unused.")
+
+    def _live_bev_masks(self, info: Dict, boxes7d: np.ndarray,
+                        labels: np.ndarray) -> Optional[np.ndarray]:
+        """On-the-fly raster via the shared geometry core (needs devkit map
+        assets + pose matrices in the infos).  Memoized per token."""
+        token = info["token"]
+        if token in self._live_memo:
+            return self._live_memo[token]
+        loc = info.get("location")
+        if not loc or "ego2global" not in info or "lidar2ego" not in info:
+            return None
+        try:
+            from nuscenes.map_expansion.map_api import NuScenesMap
+        except ImportError:
+            return None
+        from .bev_raster import (BEVRasterizer, MAP_CLASSES,
+                                 bottom_corners_from_boxes7d,
+                                 extract_map_geoms)
+        if loc not in self._nusc_maps:
+            try:
+                self._nusc_maps[loc] = NuScenesMap(self.dataset_root, loc)
+            except Exception as e:  # map expansion not on disk
+                log.warning("live BEV raster disabled: %s", e)
+                self._nusc_maps[loc] = None
+        nmap = self._nusc_maps[loc]
+        if nmap is None:
+            return None
+        rast = BEVRasterizer()
+        l2g = np.asarray(info["ego2global"]) @ np.asarray(info["lidar2ego"])
+        cx, cy = l2g[:2, 3]
+        yaw = np.arctan2(l2g[1, 0], l2g[0, 0])
+        geoms = extract_map_geoms(nmap, MAP_CLASSES, (cx, cy), 75.0)
+        geoms = {
+            name: {kind: [rast.world_to_lidar(p, (cx, cy), yaw) for p in lst]
+                   for kind, lst in g.items()}
+            for name, g in geoms.items()
+        }
+        out = rast.rasterize_map(geoms)
+        # live object channels use ALL per-class boxes (pre visibility filter),
+        # matching the cache built by tools/prepare_map_aux.py
+        rast.rasterize_objects(
+            bottom_corners_from_boxes7d(boxes7d), labels, out=out)
+        self._live_memo[token] = out
+        return out
 
     @staticmethod
     def _unpack(packed: np.ndarray, channels: int = 18) -> np.ndarray:
@@ -196,6 +274,15 @@ class NuScenesDataset:
         labels = np.array([
             self.object_classes.index(n) if n in self.object_classes else -1
             for n in names], np.int64)
+        # BEV raster uses the cache tool's class list + unfiltered boxes so
+        # live rasterization matches a prebuilt tools/prepare_map_aux.py cache
+        from .bev_raster import OBJECT_CLASSES as BEV_OBJECT_CLASSES
+
+        bev_labels = np.array([
+            BEV_OBJECT_CLASSES.index(n) if n in BEV_OBJECT_CLASSES else -1
+            for n in names], np.int64)
+        masks_bev = (self._bev_masks(info, boxes, bev_labels) if self.load_bev
+                     else np.zeros((18, 200, 200), np.uint8))
         if "visibility" in info and self.visibility_threshold > 0:
             vis = np.asarray(info["visibility"], np.int64)
             keep = vis >= self.visibility_threshold
@@ -212,7 +299,7 @@ class NuScenesDataset:
             "timeofday": info.get("timeofday", ""),
             "gt_bboxes_3d": boxes[:, :7],
             "gt_labels_3d": labels,
-            "gt_masks_bev": self._bev_masks(token),
+            "gt_masks_bev": masks_bev,
             "camera_intrinsics": intrinsics.astype(np.float32),
             "lidar2camera": lidar2camera.astype(np.float32),
             "camera2lidar": cam2lidar.astype(np.float32),

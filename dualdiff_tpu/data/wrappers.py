@@ -44,11 +44,12 @@ class FolderSetWrapper:
             return pickle.load(f)
 
 
-def build_dataset(cfg, split: str = "train", load_images: bool = True):
+def build_dataset(cfg, split: str = "train", load_images: bool = True,
+                  load_bev: bool = True):
     """Config-driven dataset construction (reference build_dataset via the
     mmdet3d registry, ``tools/train.py:82-91``).  With ``use_video`` the
     frame dataset is wrapped into fixed-length clips."""
-    ds = _build_frames(cfg, split, load_images)
+    ds = _build_frames(cfg, split, load_images, load_bev)
     if cfg.get("use_video"):
         from .video import ClipDataset
 
@@ -56,7 +57,7 @@ def build_dataset(cfg, split: str = "train", load_images: bool = True):
     return ds
 
 
-def _build_frames(cfg, split: str, load_images: bool):
+def _build_frames(cfg, split: str, load_images: bool, load_bev: bool = True):
     d = cfg.dataset
     kind = str(d.dataset_type)
     if kind == "SyntheticNuScenes":
@@ -67,8 +68,14 @@ def _build_frames(cfg, split: str, load_images: bool):
             image_size=tuple(d.image_size),
             seed=int(cfg.seed) + (0 if split == "train" else 1),
         )
+    from .collate import branch_specs_from_cfg
     from .nuscenes import NuScenesDataset
 
+    # a config whose branches never condition on bev_map may run without a
+    # mask cache (warn-once zeros); bev_map-conditioned training must not
+    missing_bev = d.get("missing_bev") or (
+        "error" if any(s.cond_kind == "bev_map"
+                       for s in branch_specs_from_cfg(cfg)) else "zeros")
     split_cfg = d.data[split]
     cache = d.dataset_cache_file
     cache_file = cache[0 if split == "train" else 1] \
@@ -86,4 +93,6 @@ def _build_frames(cfg, split: str, load_images: bool):
         map_vec_root=d.get("map_vec_root"),
         visibility_threshold=int(d.visibility_threshold),
         load_images=load_images,
+        missing_bev=str(missing_bev),
+        load_bev=load_bev,
     )

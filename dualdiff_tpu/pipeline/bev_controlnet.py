@@ -52,7 +52,8 @@ class BEVControlNetPipeline:
         self.schedule = schedule or DiffusionSchedule.create()
         h, w = cfg.dataset.image_size
         self.latent_hw = (h // 8, w // 8)
-        self.image_hw = (896, 1600)
+        # ORS intrinsics frame (reference occ3d_proj.py:144 pins 896x1600)
+        self.image_hw = tuple(cfg.model.get("ors_frame_hw", (896, 1600)))
         pp = cfg.runner.pipeline_param
         self._generate = jax.jit(functools.partial(
             self._generate_impl,

@@ -262,8 +262,9 @@ class MultiviewTrainer:
             str(cfg.model.pretrained_model_name_or_path))
         h, w = cfg.dataset.image_size
         self.latent_hw = (h // 8, w // 8)
-        # ORS intrinsics frame (reference occ3d_proj.py __main__: 896x1600)
-        self.image_hw = (896, 1600)
+        # ORS intrinsics frame (reference occ3d_proj.py:144 pins 896x1600 —
+        # 8-divisible height; see configs/model/SDv1.5mv_rawbox.yaml)
+        self.image_hw = tuple(cfg.model.get("ors_frame_hw", (896, 1600)))
         self.mesh = mesh or create_mesh(
             data=int(cfg.accelerator.mesh.data),
             view=int(cfg.accelerator.mesh.view))

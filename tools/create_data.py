@@ -7,8 +7,8 @@ Requires the nuscenes-devkit and the dataset on disk (not present in CI
 containers — the synthetic dataset covers offline runs).  Output schema per
 sample matches what ``dualdiff_tpu.data.nuscenes.NuScenesDataset`` reads:
 token, timestamp, location, description, timeofday, cams{name: data_path,
-cam_intrinsic, sensor2lidar_rotation, sensor2lidar_translation}, gt_boxes
-(N, 7), gt_names, visibility.
+cam_intrinsic, sensor2lidar_rotation, sensor2lidar_translation}, lidar2ego,
+ego2global, gt_boxes (N, 7), gt_names, visibility.
 """
 
 from __future__ import annotations
@@ -80,21 +80,28 @@ def create_nuscenes_infos(dataroot: str, version: str, out_dir: str):
                 "sensor2lidar_translation": s2l_t,
             }
 
+        ego_pose = nusc.get("ego_pose", lidar_sd["ego_pose_token"])
+        e2g_r = quaternion_to_matrix(ego_pose["rotation"])
+        e2g_t = np.array(ego_pose["translation"])
+        l2e = np.eye(4)
+        l2e[:3, :3], l2e[:3, 3] = l2e_r, l2e_t
+        e2g = np.eye(4)
+        e2g[:3, :3], e2g[:3, 3] = e2g_r, e2g_t
+
         boxes, names, vis = [], [], []
         for ann_t in sample["anns"]:
             ann = nusc.get("sample_annotation", ann_t)
             box = nusc.get_box(ann_t)
             # move into lidar frame
-            ego_pose = nusc.get("ego_pose", lidar_sd["ego_pose_token"])
-            e2g_r = quaternion_to_matrix(ego_pose["rotation"])
-            e2g_t = np.array(ego_pose["translation"])
             center = l2e_r.T @ (e2g_r.T @ (box.center - e2g_t) - l2e_t)
             rot = l2e_r.T @ e2g_r.T @ quaternion_to_matrix(
                 list(box.orientation))
             yaw = np.arctan2(rot[1, 0], rot[0, 0])
             w, l, h = box.wlh
-            # bottom-center origin (mmdet3d LiDAR boxes)
-            boxes.append([*center[:2], center[2] - h / 2, w, l, h, yaw])
+            # bottom-center origin; dims ordered (x_size=l, y_size=w, h) with
+            # the DIRECT box yaw (mmdet3d-1.0 convention, matching
+            # ops/boxes.py::box_corners — not the legacy (w,l,h, -yaw-pi/2))
+            boxes.append([*center[:2], center[2] - h / 2, l, w, h, yaw])
             names.append(_map_name(ann["category_name"]))
             vis.append(int(ann["visibility_token"]))
         info = {
@@ -105,6 +112,9 @@ def create_nuscenes_infos(dataroot: str, version: str, out_dir: str):
             "timeofday": "night" if "night" in scene_desc[scene_t].lower()
             else "day",
             "cams": cams,
+            # pose matrices for live BEV rasterization (data/bev_raster.py)
+            "lidar2ego": l2e.astype(np.float32),
+            "ego2global": e2g.astype(np.float32),
             "gt_boxes": np.array(boxes, np.float32).reshape(-1, 7),
             "gt_names": names,
             "visibility": np.array(vis, np.int64),

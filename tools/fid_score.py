@@ -115,9 +115,10 @@ def main(argv=None):
     cfg = load_config(
         os.path.join(os.path.dirname(__file__), "..", "configs"),
         overrides=argv)
-    rootb = str(cfg.get("fid", {}).get("rootb") or cfg.get("fid_rootb"))
+    rootb = cfg.get("fid", {}).get("rootb") or cfg.get("fid_rootb")
     assert rootb, "config mode needs fid.rootb=<generated samples dir>"
-    val = build_dataset(cfg, "val", load_images=False)
+    rootb = str(rootb)
+    val = build_dataset(cfg, "val", load_images=False, load_bev=False)
     view_order = list(cfg.dataset.view_order)
     pairs_a, pairs_b = [], []
     for i in range(len(val)):

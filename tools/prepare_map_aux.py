@@ -13,81 +13,62 @@ from __future__ import annotations
 import argparse
 import os
 import pickle
+import sys
 
 import numpy as np
 
-MAP_CLASSES = [
-    "drivable_area", "ped_crossing", "walkway", "stop_line",
-    "carpark_area", "road_divider", "lane_divider", "road_block",
-]
-OBJECT_CLASSES = [
-    "car", "truck", "construction_vehicle", "bus", "trailer", "barrier",
-    "motorcycle", "bicycle", "pedestrian", "traffic_cone",
-]
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from dualdiff_tpu.data.bev_raster import (  # noqa: E402  (shared geometry core)
+    MAP_CLASSES, OBJECT_CLASSES, BEVRasterizer, bottom_corners_from_boxes7d,
+    extract_map_geoms,
+)
 
 
 def rasterize_sample(nusc, nusc_maps, info, xbound, ybound):
-    """(8 map + 10 object, H, W) uint8 BEV masks around the ego pose."""
-    from nuscenes.utils.data_classes import Box  # noqa: F401  (devkit check)
+    """(8 map + 10 object, H, W) uint8 BEV masks around the lidar pose.
 
-    import cv2
-
-    h = int((xbound[1] - xbound[0]) / xbound[2])
-    w = int((ybound[1] - ybound[0]) / ybound[2])
-    out = np.zeros((len(MAP_CLASSES) + len(OBJECT_CLASSES), h, w), np.uint8)
+    Geometry core lives in ``dualdiff_tpu.data.bev_raster`` (unit-tested
+    devkit-free); this wrapper only extracts devkit geometry + the pose.
+    """
+    rast = BEVRasterizer(xbound, ybound)
 
     sample = nusc.get("sample", info["token"])
     lidar_sd = nusc.get("sample_data", sample["data"]["LIDAR_TOP"])
     ego = nusc.get("ego_pose", lidar_sd["ego_pose_token"])
+    cs = nusc.get("calibrated_sensor", lidar_sd["calibrated_sensor_token"])
     log = nusc.get("log", nusc.get("scene", sample["scene_token"])["log_token"])
-    nmap = nusc_maps[log["location"]]
-    cx, cy = ego["translation"][:2]
-    radius = max(xbound[1], ybound[1]) * 1.5
     from pyquaternion import Quaternion
 
-    yaw = Quaternion(ego["rotation"]).yaw_pitch_roll[0]
-    patch = (cx, cy, radius * 2, radius * 2)
+    # boxes in infos are LIDAR-frame: the map patch must use the lidar2global
+    # pose/yaw, not the ego pose (reference pipeline.py:246-260) — ego->lidar
+    # carries the sensor mount rotation.
+    e2g = np.eye(4)
+    e2g[:3, :3] = Quaternion(ego["rotation"]).rotation_matrix
+    e2g[:3, 3] = ego["translation"]
+    l2e = np.eye(4)
+    l2e[:3, :3] = Quaternion(cs["rotation"]).rotation_matrix
+    l2e[:3, 3] = cs["translation"]
+    l2g = e2g @ l2e
+    cx, cy = l2g[:2, 3]
+    yaw = np.arctan2(l2g[1, 0], l2g[0, 0])
+    radius = max(abs(b) for b in (*xbound[:2], *ybound[:2])) * 1.5
 
-    def world_to_bev(pts):
-        # rotate world points into ego frame, then to pixel indices
-        c, s = np.cos(-yaw), np.sin(-yaw)
-        x = (pts[:, 0] - cx) * c - (pts[:, 1] - cy) * s
-        y = (pts[:, 0] - cx) * s + (pts[:, 1] - cy) * c
-        px = ((y - ybound[0]) / ybound[2]).astype(np.int32)
-        py = ((x - xbound[0]) / xbound[2]).astype(np.int32)
-        return np.stack([px, py], 1)
+    geoms = extract_map_geoms(nusc_maps[log["location"]], MAP_CLASSES,
+                              (cx, cy), radius)
+    geoms = {
+        name: {kind: [rast.world_to_lidar(pts, (cx, cy), yaw) for pts in lst]
+               for kind, lst in g.items()}
+        for name, g in geoms.items()
+    }
+    out = rast.rasterize_map(geoms)
 
-    for ci, layer in enumerate(MAP_CLASSES):
-        layer_name = {"drivable_area": "drivable_area",
-                      "road_divider": "road_divider",
-                      "lane_divider": "lane_divider"}.get(layer, layer)
-        try:
-            records = getattr(nmap, layer_name)
-        except AttributeError:
-            continue
-        for rec in records:
-            if "polygon_token" in rec:
-                poly = nmap.extract_polygon(rec["polygon_token"])
-                pts = np.array(poly.exterior.coords)
-                cv2.fillPoly(out[ci], [world_to_bev(pts)], 1)
-            elif "line_token" in rec:
-                line = nmap.extract_line(rec["line_token"])
-                pts = np.array(line.coords)
-                cv2.polylines(out[ci], [world_to_bev(pts)], False, 1, 2)
-
-    for ann_t in sample["anns"]:
-        ann = nusc.get("sample_annotation", ann_t)
-        name = ann["category_name"]
-        idx = None
-        for i, cls in enumerate(OBJECT_CLASSES):
-            if cls.replace("_", "") in name.replace(".", "").replace("_", ""):
-                idx = len(MAP_CLASSES) + i
-                break
-        if idx is None:
-            continue
-        box = nusc.get_box(ann_t)
-        corners = box.bottom_corners().T[:, :2]  # (4, 2) world
-        cv2.fillPoly(out[idx], [world_to_bev(corners)], 1)
+    # objects: infos already carry lidar-frame 7-dof boxes + mapped names
+    boxes = np.asarray(info.get("gt_boxes", np.zeros((0, 7))), np.float32)
+    labels = np.array([
+        OBJECT_CLASSES.index(n) if n in OBJECT_CLASSES else -1
+        for n in info.get("gt_names", [])], np.int64)
+    rast.rasterize_objects(bottom_corners_from_boxes7d(boxes), labels, out=out)
     return out
 
 
