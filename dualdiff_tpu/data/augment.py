@@ -8,7 +8,29 @@ from typing import Dict, Optional, Sequence
 
 import numpy as np
 
-__all__ = ["random_flip_3d_with_views"]
+__all__ = ["random_flip_3d_with_views", "object_range_filter"]
+
+
+def object_range_filter(
+    boxes: np.ndarray,
+    labels: np.ndarray,
+    point_cloud_range: Sequence[float],
+) -> tuple:
+    """Keep boxes whose BEV center lies inside ``point_cloud_range``
+    ``[x0, y0, z0, x1, y1, z1]`` and normalize yaw to [-pi, pi) —
+    reference ``ObjectRangeFilterM`` (``pipeline.py:334-383``,
+    ``in_range_bev`` + ``limit_yaw``).  Returns (boxes, labels, keep_mask).
+    """
+    boxes = np.asarray(boxes, np.float32)
+    labels = np.asarray(labels)
+    if len(boxes) == 0:
+        return boxes, labels, np.zeros((0,), bool)
+    pcr = np.asarray(point_cloud_range, np.float32)
+    keep = ((boxes[:, 0] >= pcr[0]) & (boxes[:, 0] < pcr[3])
+            & (boxes[:, 1] >= pcr[1]) & (boxes[:, 1] < pcr[4]))
+    boxes, labels = boxes[keep].copy(), labels[keep]
+    boxes[:, 6] = (boxes[:, 6] + np.pi) % (2 * np.pi) - np.pi
+    return boxes, labels, keep
 
 # horizontal flip swaps left/right cameras:
 # [FL, F, FR, BR, B, BL] -> [FR, F, FL, BL, B, BR]

@@ -63,6 +63,7 @@ class NuScenesDataset:
         load_images: bool = True,
         missing_bev: str = "error",  # error | zeros
         load_bev: bool = True,
+        point_cloud_range: Optional[Sequence[float]] = None,
     ):
         with open(ann_file, "rb") as f:
             data = pickle.load(f)
@@ -85,6 +86,8 @@ class NuScenesDataset:
         assert missing_bev in ("error", "zeros"), missing_bev
         self.missing_bev = missing_bev
         self.load_bev = load_bev
+        self.point_cloud_range = (
+            None if point_cloud_range is None else list(point_cloud_range))
         self._h5 = None
         self._nusc_maps = {}  # location -> NuScenesMap (live-raster path)
         self._live_memo = {}  # token -> (C, 200, 200) uint8
@@ -289,6 +292,13 @@ class NuScenesDataset:
             boxes, labels = boxes[keep[: len(boxes)]], labels[keep[: len(labels)]]
         keep = labels >= 0
         boxes, labels = boxes[keep], labels[keep]
+        if self.point_cloud_range is not None:
+            # ObjectRangeFilterM analog (reference pipeline.py:334-383;
+            # default-off in reference configs too)
+            from .augment import object_range_filter
+
+            boxes, labels, _ = object_range_filter(
+                boxes, labels, self.point_cloud_range)
 
         sample = {
             "token": token,

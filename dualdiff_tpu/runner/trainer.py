@@ -294,6 +294,12 @@ class MultiviewTrainer:
         self.steps_per_epoch = steps_per_epoch
 
     def _collate_items(self, items, rng):
+        flip = float((self.cfg.dataset.get("augment3d") or {})
+                     .get("flip_ratio") or 0.0)
+        if flip > 0:  # reference RandomFlip3DwithViews (pipeline.py:528-735)
+            from ..data.augment import random_flip_3d_with_views
+
+            items = [random_flip_3d_with_views(s, rng, flip) for s in items]
         return collate_fn(items, self.cfg, self.tokenizer, rng=rng)
 
     def _init_state(self):

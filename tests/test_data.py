@@ -170,3 +170,76 @@ def test_occ_panorama_size_adaptation():
     assert out2.shape == (192, 384 * 6, 3)
     # same size passes through untouched
     np.testing.assert_array_equal(_fit_occ_panorama(pano2, (224, 400)), pano2)
+
+
+def test_random_flip_applied_through_collate(ds):
+    """Flip aug wired through the trainer's collate path (reference
+    RandomFlip3DwithViews, pipeline.py:528-735)."""
+    from dualdiff_tpu.data.augment import random_flip_3d_with_views
+
+    s = ds[0]
+    rng = np.random.default_rng(0)
+    flipped = random_flip_3d_with_views(dict(s), rng, flip_ratio=1.0)
+    # images mirrored + left/right views swapped
+    np.testing.assert_allclose(flipped["img"][1], s["img"][1][:, ::-1])
+    np.testing.assert_allclose(flipped["img"][0], s["img"][2][:, ::-1])
+    # boxes y/yaw negated
+    if len(s["gt_bboxes_3d"]):
+        np.testing.assert_allclose(flipped["gt_bboxes_3d"][:, 1],
+                                   -s["gt_bboxes_3d"][:, 1])
+    # projection consistency survives the flip
+    np.testing.assert_allclose(
+        flipped["lidar2image"],
+        flipped["camera_intrinsics"] @ flipped["lidar2camera"],
+        rtol=1e-4, atol=1e-3)
+    # ratio 0 is identity (the default-config path)
+    same = random_flip_3d_with_views(dict(s), rng, flip_ratio=0.0)
+    np.testing.assert_array_equal(same["img"], s["img"])
+    # and the flipped sample still collates
+    cfg = load_config(CONFIG_DIR, overrides=["+exp=224x400"])
+    batch = collate_fn([flipped], cfg, HashTokenizer(),
+                       rng=np.random.default_rng(0))
+    assert batch["pixel_values"].shape[0] == 1
+
+
+def test_trainer_collate_flip_wiring(ds):
+    """cfg.dataset.augment3d.flip_ratio=1 actually flips inside
+    _collate_items (was implemented-but-unwired in round 1)."""
+    from dualdiff_tpu.data.tokenizer import HashTokenizer as HT
+
+    class Stub:  # trainer duck-type: only cfg + tokenizer are used
+        pass
+
+    from dualdiff_tpu.runner.trainer import MultiviewTrainer
+
+    stub = Stub()
+    stub.cfg = load_config(
+        CONFIG_DIR, overrides=["+exp=224x400",
+                               "dataset.augment3d.flip_ratio=1.0"])
+    stub.tokenizer = HT()
+    rng = np.random.default_rng(0)
+    batch = MultiviewTrainer._collate_items(stub, [ds[0]], rng)
+    ref = collate_fn([ds[0]], stub.cfg, HT(), rng=np.random.default_rng(0))
+    assert not np.allclose(batch["pixel_values"], ref["pixel_values"])
+
+
+def test_object_range_filter():
+    from dualdiff_tpu.data.augment import object_range_filter
+
+    boxes = np.array([
+        [10.0, 0.0, -1.0, 4.0, 2.0, 1.5, 0.2],     # inside
+        [60.0, 0.0, -1.0, 4.0, 2.0, 1.5, 0.2],     # x out
+        [0.0, -55.0, -1.0, 4.0, 2.0, 1.5, 4.0],    # y out
+        [-20.0, 20.0, -1.0, 4.0, 2.0, 1.5, 4.0],   # inside, yaw wraps
+    ], np.float32)
+    labels = np.arange(4)
+    pcr = [-50, -50, -5, 50, 50, 3]
+    fb, fl, keep = object_range_filter(boxes, labels, pcr)
+    assert list(fl) == [0, 3]
+    assert keep.tolist() == [True, False, False, True]
+    # yaw normalized to [-pi, pi)
+    assert (-np.pi <= fb[:, 6]).all() and (fb[:, 6] < np.pi).all()
+    np.testing.assert_allclose(fb[1, 6], 4.0 - 2 * np.pi, rtol=1e-6)
+    # empty input passes through
+    eb, el, ek = object_range_filter(np.zeros((0, 7)), np.zeros((0,)), pcr)
+    assert len(eb) == 0 and len(ek) == 0
