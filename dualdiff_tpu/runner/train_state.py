@@ -45,6 +45,44 @@ def init_box_adapter_from_base(params):
 Path = Tuple[str, ...]
 
 
+def set_category_tokens(params: Dict, text_encoder, tokenizer,
+                        class_names) -> Dict:
+    """Initialize every controlnet's ``bbox_embedder/class_tokens`` with the
+    pooled CLIP text embedding of each class name (reference
+    ``bbox_embedder.py:132-145`` ``set_category_token``, invoked from the
+    runner at ``multiview_runner.py:340-353``).  Uses the (frozen)
+    ``params['text_encoder']`` already in the tree; embedders whose class
+    count does not match ``len(class_names)`` (e.g. map-vec) are skipped.
+    Returns the updated tree.
+    """
+    import logging
+
+    import jax
+    import numpy as np
+
+    ids = np.asarray(tokenizer(list(class_names)), np.int32)
+    _, pooled = jax.jit(
+        lambda p, i: text_encoder.apply({"params": p}, i)
+    )(params["text_encoder"], ids)  # (C, hidden)
+    for key, sub in params.items():
+        if not key.startswith("controlnet"):
+            continue
+        be = sub.get("bbox_embedder")
+        if not isinstance(be, dict) or "class_tokens" not in be:
+            continue
+        tok = be["class_tokens"]
+        if tuple(tok.shape) == tuple(pooled.shape):
+            be["class_tokens"] = pooled.astype(tok.dtype)
+            logging.getLogger(__name__).info(
+                "%s/bbox_embedder/class_tokens <- pooled CLIP text "
+                "embeddings of %d class names", key, len(class_names))
+        else:
+            logging.getLogger(__name__).info(
+                "%s/bbox_embedder/class_tokens shape %s != %s: left as-is",
+                key, tuple(tok.shape), tuple(pooled.shape))
+    return params
+
+
 def trainable_predicate(
     unet_trainable_state: str = "only_new",
     trainable_class_token: bool = False,

@@ -352,6 +352,15 @@ class MultiviewTrainer:
             from .train_state import init_box_adapter_from_base
 
             params = init_box_adapter_from_base(params)
+        if bool(cfg.model.controlnet.bbox_embedder_param.get(
+                "use_text_encoder_init", True)):
+            # fresh params: CLIP-pooled class-name embeddings (checkpoint /
+            # weight-import loads later overwrite these, same as reference)
+            from .train_state import set_category_tokens
+
+            params = set_category_tokens(
+                params, models["text_encoder"], self.tokenizer,
+                list(cfg.dataset.object_classes))
 
         pred = trainable_predicate(
             str(self.cfg.model.unet.trainable_state),

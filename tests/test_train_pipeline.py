@@ -152,3 +152,27 @@ def test_resume_into_fresh_trainer(ds, tmp_path_factory):
     # training continues from the restored state
     m = t2.run(max_steps=3)
     assert np.isfinite(m["loss"]) and int(t2.state["step"]) == 3
+
+
+def test_class_tokens_clip_initialized(vanilla):
+    """Fresh-params class tokens must be the pooled CLIP text embeddings of
+    the dataset class names, not random init (reference
+    bbox_embedder.py:132-145 set_category_token)."""
+    from dualdiff_tpu.data.tokenizer import HashTokenizer
+
+    frozen = vanilla.frozen
+    tokens = frozen["controlnet_0"]["bbox_embedder"]["class_tokens"]
+    names = list(vanilla.cfg.dataset.object_classes)
+    assert tokens.shape[0] == len(names)
+
+    ids = np.asarray(HashTokenizer()(names), np.int32)
+    text = vanilla.models["text_encoder"]
+    _, pooled = jax.jit(
+        lambda p, i: text.apply({"params": p}, i)
+    )(frozen["text_encoder"], ids)
+    # frozen tree is compute-precision; text params were fp32 at set time
+    # matching an independent recompute is the proof: random normal(1.0)
+    # init cannot coincide with the pooled text-encoder output
+    np.testing.assert_allclose(
+        np.asarray(tokens, np.float32), np.asarray(pooled, np.float32),
+        rtol=0.1, atol=0.05)
