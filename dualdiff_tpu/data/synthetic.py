@@ -100,8 +100,12 @@ class SyntheticNuScenes:
         img = rng.normal(0, 0.3, (n_cam, h, w, 3)).astype(np.float32).clip(-1, 1)
         masks_bev = (rng.random((18, 200, 200)) > 0.9).astype(np.uint8)
 
+        token = f"synthetic-{self.seed}-{idx:06d}"
+        cams = ["CAM_FRONT_LEFT", "CAM_FRONT", "CAM_FRONT_RIGHT",
+                "CAM_BACK_RIGHT", "CAM_BACK", "CAM_BACK_LEFT"][:n_cam]
         sample = {
-            "token": f"synthetic-{self.seed}-{idx:06d}",
+            "token": token,
+            "filenames": [f"samples/{c}/{token}_{c}.jpg" for c in cams],
             "location": LOCATIONS[idx % len(LOCATIONS)],
             "description": DESCRIPTIONS[idx % len(DESCRIPTIONS)],
             "timeofday": "day" if idx % 3 else "night",

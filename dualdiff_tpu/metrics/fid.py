@@ -37,8 +37,10 @@ class BasicConv(nn.Module):
         x = nn.Conv(self.out, self.kernel, strides=self.strides,
                     padding=self.padding, use_bias=False, dtype=self.dtype,
                     name="conv")(x)
+        # affine BN matching the pt_inception-2015-12-05 port (torchvision
+        # BasicConv2d: BatchNorm2d(eps=1e-3), affine scale + bias)
         x = nn.BatchNorm(use_running_average=True, epsilon=1e-3,
-                         use_scale=False, use_bias=True, dtype=jnp.float32,
+                         use_scale=True, use_bias=True, dtype=jnp.float32,
                          name="bn")(x)
         return nn.relu(x)
 

@@ -119,3 +119,127 @@ def test_xplane_trace_parser(tmp_path):
     assert planes and any(p["lines"] for p in planes)
     tops = summarize_trace(str(tmp_path), plane_filter="")
     assert tops and tops[0][1] > 0
+
+
+def test_pt_inception_importer_roundtrip():
+    """Importer for the standard FID weights: consumes 100% of the canonical
+    pt_inception-2015-12-05 key list, fills 100% of the Flax tree, and the
+    imported model runs (reference magicdrive/misc/inception.py:16-341)."""
+    from dualdiff_tpu.metrics.fid import InceptionV3
+    from dualdiff_tpu.metrics.fid_import import (
+        export_pt_inception, import_pt_inception, pt_inception_key_list)
+
+    keys = pt_inception_key_list()
+    assert len(keys) == 94 * 6 + 2  # 94 conv blocks + fc head
+
+    model = InceptionV3()
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 299, 299, 3)))
+    sd = export_pt_inception(variables)
+    # the exported dict + fc head covers the canonical key list exactly
+    assert set(sd) | {"fc.weight", "fc.bias"} == set(keys)
+
+    sd["fc.weight"] = np.zeros((1008, 2048), np.float32)
+    sd["fc.bias"] = np.zeros((1008,), np.float32)
+    imported = import_pt_inception(sd)
+
+    # identical trees (structure + values) after the roundtrip
+    flat_a = jax.tree_util.tree_leaves_with_path(variables)
+    flat_b = jax.tree_util.tree_leaves_with_path(imported)
+    assert [p for p, _ in flat_a] == [p for p, _ in flat_b]
+    for (_, a), (_, b) in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # an unexpected key fails loudly instead of being dropped
+    bad = dict(sd)
+    bad["Mixed_9z.conv.weight"] = np.zeros((1, 1, 1, 1), np.float32)
+    try:
+        import_pt_inception(bad)
+        assert False, "should have raised on unconsumed key"
+    except AssertionError as e:
+        assert "unconsumed" in str(e)
+
+    # a missing weight fails loudly too
+    bad2 = dict(sd)
+    del bad2["Mixed_7c.branch_pool.conv.weight"]
+    try:
+        import_pt_inception(bad2)
+        assert False, "should have raised on missing key"
+    except AssertionError as e:
+        assert "missing" in str(e)
+
+    out = model.apply(imported, jnp.zeros((1, 299, 299, 3)))
+    assert out.shape == (1, 2048) and bool(jnp.isfinite(out).all())
+
+
+def test_fid_config_mode_token_sensor_pairing(tmp_path, capsys):
+    """Config-mode FID pairs real and generated by token x sensor and applies
+    the train-matching transform (reference fid_score.py:297-340,477-484)."""
+    import importlib.util
+    import os
+
+    from PIL import Image
+
+    spec = importlib.util.spec_from_file_location(
+        "fid_score", os.path.join(os.path.dirname(__file__), "..",
+                                  "tools", "fid_score.py"))
+    fid_score = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(fid_score)
+
+    from dualdiff_tpu.data.synthetic import SyntheticNuScenes
+
+    real_root, gen_root = tmp_path / "nusc", tmp_path / "gen"
+    ds = SyntheticNuScenes(num_samples=2)
+    rng = np.random.default_rng(0)
+    for i in range(len(ds)):
+        s = ds[i]
+        for cam, fname in zip(
+                ["CAM_FRONT_LEFT", "CAM_FRONT", "CAM_FRONT_RIGHT",
+                 "CAM_BACK_RIGHT", "CAM_BACK", "CAM_BACK_LEFT"],
+                s["filenames"]):
+            p = real_root / fname
+            p.parent.mkdir(parents=True, exist_ok=True)
+            Image.fromarray(rng.integers(
+                0, 255, (90, 160, 3), np.uint8)).save(p)
+            g = gen_root / cam / f"{s['token']}_{cam}.png"
+            g.parent.mkdir(parents=True, exist_ok=True)
+            Image.fromarray(rng.integers(
+                0, 255, (90, 160, 3), np.uint8)).save(g)
+
+    # pairing finds all 12; dropping one generated image skips that pair
+    class Val:
+        def __len__(self):
+            return len(ds)
+
+        def __getitem__(self, i):
+            return ds[i]
+
+    view_order = ["CAM_FRONT_LEFT", "CAM_FRONT", "CAM_FRONT_RIGHT",
+                  "CAM_BACK_RIGHT", "CAM_BACK", "CAM_BACK_LEFT"]
+    reals, gens = fid_score.pair_real_generated(
+        Val(), view_order, str(real_root), str(gen_root))
+    assert len(reals) == len(gens) == 12
+    assert all(os.path.exists(p) for p in reals + gens)
+    # paired in lockstep: same token+cam on both sides of each pair
+    for r, g in zip(reals, gens):
+        tok_cam = os.path.splitext(os.path.basename(r))[0]
+        assert os.path.basename(g) == tok_cam + ".png"
+
+    os.remove(gens[3])
+    reals2, gens2 = fid_score.pair_real_generated(
+        Val(), view_order, str(real_root), str(gen_root))
+    assert len(reals2) == 11
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        fid_score.pair_real_generated(
+            Val(), view_order, str(real_root), str(gen_root),
+            require_all=True)
+
+    # bottom-center crop semantics (the reference's misnamed top_center_crop)
+    img = Image.fromarray(np.arange(100, dtype=np.uint8).reshape(10, 10)
+                          .repeat(3).reshape(10, 10, 3))
+    crop = fid_score.top_center_crop(img, (4, 6))
+    arr = np.asarray(crop)
+    assert arr.shape == (4, 6, 3)
+    np.testing.assert_array_equal(arr[:, :, 0],
+                                  np.asarray(img)[6:, 2:8, 0])

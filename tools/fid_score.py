@@ -4,18 +4,24 @@
 Two modes:
   * raw paths:   python tools/fid_score.py --paths DIR_A DIR_B
   * config mode: python tools/fid_score.py +exp=... fid.rootb=GEN_DIR
-    pairs real nuScenes val images with generated ones by token x 6 sensors,
-    applying the train-matching transform (resize 0.25 + top-center crop to
-    dataset.image_size; reference fid_score.py:363-370,477-484).
+    pairs real nuScenes val images with generated ones by token x 6 sensors
+    and applies the train-matching transform (bicubic resize by
+    ``augment2d.resize`` mean + bottom-center crop to ``dataset.image_size``)
+    to BOTH sides before Inception, exactly like the reference
+    (``fid_score.py:297-340`` pairing, ``:363-370`` top_center_crop —
+    which, despite the name, keeps the BOTTOM rows to match ImageAug3D —
+    and ``:477-484`` the transform composition).
 
-Inception weights: place the pt_inception-2015-12-05 port (exported to our
-param format) at ``pretrained/inception_fid.ckpt``; without it, falls back to
-VAE-encoder features (relative comparisons only — clearly labeled).
+Inception weights: place the standard ``pt_inception-2015-12-05.pth`` at
+``pretrained/pt_inception-2015-12-05.pth`` (imported on the fly via
+``metrics/fid_import.py``), or an orbax export at
+``pretrained/inception_fid.ckpt``.  Without either, falls back to
+random-init inception features (relative comparisons only — clearly
+labeled, never comparable to published numbers).
 """
 
 from __future__ import annotations
 
-import argparse
 import os
 import sys
 
@@ -25,10 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dualdiff_tpu.metrics.fid import (
-    InceptionV3,
-    fid_from_activations,
-)
+from dualdiff_tpu.metrics.fid import InceptionV3, fid_from_activations
 
 IMG_EXTS = (".png", ".jpg", ".jpeg")
 
@@ -41,59 +44,116 @@ def _list_images(root):
     return sorted(out)
 
 
-def _load_batch(paths, size):
+def top_center_crop(img, target_hw):
+    """Crop the horizontally-centered, BOTTOM-aligned ``target_hw`` window
+    (reference ``top_center_crop``, fid_score.py:363-370: crop_h = H - fH —
+    the same bottom crop ImageAug3D applies in training)."""
+    w, h = img.size
+    th, tw = target_hw
+    left = max(0, (w - tw) // 2)
+    top = max(0, h - th)
+    return img.crop((left, top, left + tw, top + th))
+
+
+def train_matching_transform(img, resize_ratio, target_hw):
+    """Bicubic resize by the train ratio, then bottom-center crop
+    (reference fid_score.py:477-484)."""
+    from PIL import Image
+
+    w, h = img.size
+    img = img.resize((int(w * resize_ratio), int(h * resize_ratio)),
+                     Image.BICUBIC)
+    return top_center_crop(img, target_hw)
+
+
+def _load_batch(paths, size, transform=None):
     from PIL import Image
 
     ims = []
     for p in paths:
-        im = Image.open(p).convert("RGB").resize(size[::-1], Image.BILINEAR)
+        im = Image.open(p).convert("RGB")
+        if transform is not None:
+            im = transform(im)
+        im = im.resize(size[::-1], Image.BILINEAR)  # inception input resize
         ims.append(np.asarray(im, np.float32) / 255.0)
     return np.stack(ims)
 
 
-def top_center_crop(img, target_hw):
-    """PIL image -> resize 0.25 then crop top-center (reference :363-370)."""
-    from PIL import Image
-
-    w, h = img.size
-    img = img.resize((int(w * 0.25), int(h * 0.25)), Image.BILINEAR)
-    w, h = img.size
-    th, tw = target_hw
-    left = (w - tw) // 2
-    return img.crop((left, 0, left + tw, th))
-
-
-def build_extractor(weights_path="pretrained/inception_fid.ckpt"):
+def build_extractor(weights_dir="pretrained"):
     model = InceptionV3()
-    if os.path.exists(weights_path):
+    pth = os.path.join(weights_dir, "pt_inception-2015-12-05.pth")
+    ckpt = os.path.join(weights_dir, "inception_fid.ckpt")
+    if os.path.exists(pth):
+        import torch
+
+        from dualdiff_tpu.metrics.fid_import import import_pt_inception
+
+        sd = torch.load(pth, map_location="cpu", weights_only=True)
+        variables = import_pt_inception(
+            {k: v.numpy() for k, v in sd.items()})
+        label = "inception_pool3"
+    elif os.path.exists(ckpt):
         import orbax.checkpoint as ocp
 
-        variables = ocp.StandardCheckpointer().restore(
-            os.path.abspath(weights_path))
-        size = (299, 299)
+        variables = ocp.StandardCheckpointer().restore(os.path.abspath(ckpt))
         label = "inception_pool3"
     else:
         print("# WARNING: inception weights not found; using random-init "
               "inception features (relative FID only, not comparable to "
               "published numbers)", file=sys.stderr)
-        key = jax.random.PRNGKey(0)
-        variables = model.init(key, jnp.zeros((1, 299, 299, 3)))
-        size = (299, 299)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 299, 299, 3)))
         label = "inception_random"
 
     @jax.jit
     def extract(x):
         return model.apply(variables, x)
 
-    return extract, size, label
+    return extract, (299, 299), label
 
 
-def activations_for_paths(paths, extract, size, batch=16):
+def activations_for_paths(paths, extract, size, batch=16, transform=None):
     acts = []
     for i in range(0, len(paths), batch):
-        x = _load_batch(paths[i:i + batch], size)
+        x = _load_batch(paths[i:i + batch], size, transform)
         acts.append(np.asarray(extract(jnp.asarray(x))))
     return np.concatenate(acts) if acts else np.zeros((0, 2048))
+
+
+def pair_real_generated(val, view_order, dataset_root, rootb,
+                        require_all=False):
+    """Token x sensor pairing (reference fid_score.py:297-340): for every
+    val sample and camera, the real file is the dataset image and the
+    generated twin is looked up under ``rootb`` by token naming
+    (``<CAM>/<token>_<CAM>.png``, tools/val_set_gen.py default) or by the
+    original nuScenes filename (``gen_naming=original``).  Returns
+    (real_paths, gen_paths) of equal length."""
+    reals, gens = [], []
+    missing = 0
+    for i in range(len(val)):
+        s = val[i]
+        for cam, fname in zip(view_order, s["filenames"]):
+            cands = [
+                os.path.join(rootb, cam, f"{s['token']}_{cam}.png"),
+                os.path.join(rootb, os.path.splitext(fname)[0] + ".png"),
+                os.path.join(rootb, fname),
+            ]
+            gen = next((c for c in cands if os.path.exists(c)), None)
+            if gen is None:
+                missing += 1
+                if require_all:
+                    raise FileNotFoundError(
+                        f"no generated image for {s['token']}/{cam} "
+                        f"under {rootb} (tried {cands})")
+                continue
+            real = fname if os.path.isabs(fname) else os.path.join(
+                dataset_root, fname)
+            reals.append(real)
+            gens.append(gen)
+    if missing:
+        print(f"# WARNING: {missing} token x sensor pairs had no generated "
+              "image and were skipped", file=sys.stderr)
+    return reals, gens
 
 
 def main(argv=None):
@@ -108,32 +168,38 @@ def main(argv=None):
         print(f"FID[{label}] ({len(a)} vs {len(b)} images): {fid:.4f}")
         return fid
 
-    # config mode: token-paired real-vs-generated
-    from dualdiff_tpu.utils.config import load_config
+    # config mode: token x sensor paired real-vs-generated
+    from functools import partial
+
     from dualdiff_tpu.data.wrappers import build_dataset
+    from dualdiff_tpu.utils.config import load_config
 
     cfg = load_config(
         os.path.join(os.path.dirname(__file__), "..", "configs"),
         overrides=argv)
-    rootb = cfg.get("fid", {}).get("rootb") or cfg.get("fid_rootb")
+    fid_cfg = cfg.get("fid", {})
+    rootb = fid_cfg.get("rootb") or cfg.get("fid_rootb")
     assert rootb, "config mode needs fid.rootb=<generated samples dir>"
     rootb = str(rootb)
     val = build_dataset(cfg, "val", load_images=False, load_bev=False)
-    view_order = list(cfg.dataset.view_order)
-    pairs_a, pairs_b = [], []
-    for i in range(len(val)):
-        s = val[i]
-        for cam in view_order:
-            gen = os.path.join(rootb, cam, f"{s['token']}_{cam}.png")
-            if os.path.exists(gen):
-                pairs_b.append(gen)
+    reals, gens = pair_real_generated(
+        val, list(cfg.dataset.view_order), str(cfg.dataset.dataset_root),
+        rootb, require_all=bool(fid_cfg.get("require_all", False)))
+    assert reals, f"no real/generated pairs found under {rootb}"
+
+    # the SAME train-matching transform goes on both sides (reference
+    # applies `transforms` to roota and rootb alike, fid_score.py:330-340)
+    resize_ratio = float(np.mean(np.asarray(
+        cfg.dataset.augment2d.resize[0], np.float32)))
+    transform = partial(train_matching_transform,
+                        resize_ratio=resize_ratio,
+                        target_hw=tuple(cfg.dataset.image_size))
     extract, size, label = build_extractor()
-    real_root = os.path.join(str(cfg.dataset.dataset_root), "samples")
-    pairs_a = _list_images(real_root)
-    a = activations_for_paths(pairs_a, extract, size)
-    b = activations_for_paths(pairs_b, extract, size)
+    a = activations_for_paths(reals, extract, size, transform=transform)
+    b = activations_for_paths(gens, extract, size, transform=transform)
     fid = fid_from_activations(a, b)
-    print(f"FID[{label}] ({len(a)} real vs {len(b)} generated): {fid:.4f}")
+    print(f"FID[{label}] ({len(a)} real vs {len(b)} generated, "
+          f"token x sensor paired): {fid:.4f}")
     return fid
 
 
