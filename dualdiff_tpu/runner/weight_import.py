@@ -115,6 +115,12 @@ def import_vae(state_dict: Mapping[str, np.ndarray]) -> Dict:
     ``down_blocks_0_resnets_1``, ``mid_attn``, ...)."""
     rules = [
         (r"to_out\.0", "to_out_0"),
+        # pre-0.15-diffusers dumps (the original hub SD v1.5 VAE) use the
+        # legacy attention names; newer re-dumps use to_q/to_k/to_v/to_out.0
+        (r"attentions\.0\.query", "attentions.0.to_q"),
+        (r"attentions\.0\.key", "attentions.0.to_k"),
+        (r"attentions\.0\.value", "attentions.0.to_v"),
+        (r"attentions\.0\.proj_attn", "attentions.0.to_out_0"),
         (r"mid_block\.attentions\.0", "mid_attn"),
         (r"mid_block\.resnets\.(\d+)", r"mid_resnets_\1"),
         (r"(down|up)_blocks\.(\d+)\.resnets\.(\d+)",

@@ -120,3 +120,109 @@ def test_conv_transpose_convention():
     assert tree["conv_in"]["kernel"].shape == (5, 7, 3, 2)
     back = export_params(tree, "unet")
     np.testing.assert_array_equal(back["conv_in.weight"], w)
+
+
+# ---------------------------------------------------------------------------
+# Authoritative-key-list coverage (SURVEY.md hard-part #1, VERDICT r1 #7):
+# the vendored sd15_keys specs enumerate every key of a real SD v1.5
+# checkpoint; these tests fail if the importer would drop or mistranspose
+# any of them on the FULL-SIZE models.
+# ---------------------------------------------------------------------------
+
+from dualdiff_tpu.runner.sd15_keys import (  # noqa: E402
+    sd15_clip_keys, sd15_unet_keys, sd15_vae_keys)
+
+
+def _fake_sd(spec):
+    return {k: np.zeros(s, np.float32) for k, s in spec.items()}
+
+
+def _flat_shapes(tree):
+    return {k: tuple(v.shape) for k, v in
+            flax.traverse_util.flatten_dict(tree).items()}
+
+
+@pytest.fixture(scope="module")
+def fullsize_trees():
+    """Shape-only (eval_shape) param trees of the full-size models."""
+    import os
+
+    from dualdiff_tpu.runner.factory import build_models
+    from dualdiff_tpu.utils.config import load_config
+
+    cfg = load_config(
+        os.path.join(os.path.dirname(__file__), "..", "configs"),
+        overrides=["+exp=224x400", "runner=debug"])
+    models = build_models(cfg, tiny=False)
+    k = jax.random.PRNGKey(0)
+    unet = jax.eval_shape(
+        lambda r: models["unet"].init(
+            r, jnp.zeros((6, 28, 50, 4)), jnp.zeros((6,), jnp.int32),
+            jnp.zeros((6, 110, 768)), n_cam=6), k)["params"]
+    vae = jax.eval_shape(
+        lambda r: models["vae"].init(
+            r, jnp.zeros((1, 64, 64, 3)), r), k)["params"]
+    clip = jax.eval_shape(
+        lambda r: models["text_encoder"].init(
+            r, jnp.zeros((1, 77), jnp.int32)), k)["params"]
+    return unet, vae, clip
+
+
+def test_sd15_unet_full_key_coverage(fullsize_trees):
+    tree, _, _ = fullsize_trees
+    base = _flat_shapes(tree)
+    imported = flax.traverse_util.flatten_dict(
+        import_unet(_fake_sd(sd15_unet_keys())))
+    for k, v in imported.items():
+        assert k in base, f"importer produced unknown path {k}"
+        assert base[k] == tuple(v.shape), \
+            f"shape mismatch at {k}: model {base[k]} vs import {v.shape}"
+    # everything the import leaves untouched must be a new multiview param
+    leftover = [k for k in base if k not in imported]
+    assert leftover, "multiview params should not come from SD checkpoints"
+    bad = [k for k in leftover if not is_new_multiview_param(k)]
+    assert not bad, f"SD-v1.5 params not covered by the importer: {bad[:10]}"
+
+
+@pytest.mark.parametrize("legacy", [False, True])
+def test_sd15_vae_full_key_coverage(fullsize_trees, legacy):
+    _, tree, _ = fullsize_trees
+    base = _flat_shapes(tree)
+    imported = flax.traverse_util.flatten_dict(
+        import_vae(_fake_sd(sd15_vae_keys(legacy_attn=legacy))))
+    assert set(imported) == set(base), (
+        f"missing: {sorted(set(base) - set(imported))[:6]}, "
+        f"extra: {sorted(set(imported) - set(base))[:6]}")
+    for k, v in imported.items():
+        assert base[k] == tuple(v.shape), \
+            f"shape mismatch at {k}: model {base[k]} vs import {v.shape}"
+
+
+def test_sd15_clip_full_key_coverage(fullsize_trees):
+    _, _, tree = fullsize_trees
+    base = _flat_shapes(tree)
+    imported = flax.traverse_util.flatten_dict(
+        import_clip_text(_fake_sd(sd15_clip_keys(with_position_ids=True))))
+    assert set(imported) == set(base), (
+        f"missing: {sorted(set(base) - set(imported))[:6]}, "
+        f"extra: {sorted(set(imported) - set(base))[:6]}")
+    for k, v in imported.items():
+        assert base[k] == tuple(v.shape), f"shape mismatch at {k}"
+
+
+def test_sd15_clip_keys_match_live_transformers():
+    """The vendored CLIP spec must equal the live transformers CLIPTextModel
+    state dict (keys AND shapes) — proof the vendoring method is sound."""
+    torch = pytest.importorskip("torch")
+    from transformers import CLIPTextConfig, CLIPTextModel as HFCLIPText
+
+    config = CLIPTextConfig(
+        vocab_size=49408, hidden_size=768, intermediate_size=3072,
+        num_hidden_layers=12, num_attention_heads=12,
+        max_position_embeddings=77)
+    with torch.device("meta"):
+        hf = HFCLIPText(config)
+    hf_sd = {k: tuple(v.shape) for k, v in hf.state_dict().items()
+             if "position_ids" not in k}
+    spec = sd15_clip_keys()
+    assert hf_sd == spec
