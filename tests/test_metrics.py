@@ -243,3 +243,60 @@ def test_fid_config_mode_token_sensor_pairing(tmp_path, capsys):
     assert arr.shape == (4, 6, 3)
     np.testing.assert_array_equal(arr[:, :, 0],
                                   np.asarray(img)[6:, 2:8, 0])
+
+
+def test_i3d_importer_and_forward():
+    """Flax I3D: importer consumes the full canonical key list, tree matches,
+    and the model runs on a clip (canonical FVD backbone)."""
+    import flax
+
+    from dualdiff_tpu.metrics.i3d import (
+        I3D_CONV_UNITS, InceptionI3d, i3d_key_list, import_i3d)
+
+    assert len(I3D_CONV_UNITS) == 57
+    keys = i3d_key_list()
+    assert len(keys) == 57 * 6 + 2
+
+    model = InceptionI3d()
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 16, 64, 64, 3)))
+
+    # synthesize a torch-layout state dict from the init tree, import, and
+    # require an identical tree back (pins every transpose + name rule)
+    flat_p = flax.traverse_util.flatten_dict(variables["params"], sep=".")
+    flat_s = flax.traverse_util.flatten_dict(variables["batch_stats"], sep=".")
+    sd = {}
+    for mod in I3D_CONV_UNITS:
+        sd[f"{mod}.conv3d.weight"] = np.asarray(
+            flat_p[f"{mod}.conv3d.kernel"]).transpose(4, 3, 0, 1, 2)
+        sd[f"{mod}.bn.weight"] = np.asarray(flat_p[f"{mod}.bn.scale"])
+        sd[f"{mod}.bn.bias"] = np.asarray(flat_p[f"{mod}.bn.bias"])
+        sd[f"{mod}.bn.running_mean"] = np.asarray(flat_s[f"{mod}.bn.mean"])
+        sd[f"{mod}.bn.running_var"] = np.asarray(flat_s[f"{mod}.bn.var"])
+        sd[f"{mod}.bn.num_batches_tracked"] = np.zeros((), np.int64)
+    sd["logits.conv3d.weight"] = np.asarray(
+        flat_p["logits.conv3d.kernel"]).transpose(4, 3, 0, 1, 2)
+    sd["logits.conv3d.bias"] = np.asarray(flat_p["logits.conv3d.bias"])
+    assert set(sd) == set(keys)
+
+    imported = import_i3d(sd)
+    fa = jax.tree_util.tree_leaves_with_path(variables)
+    fb = jax.tree_util.tree_leaves_with_path(imported)
+    assert [p for p, _ in fa] == [p for p, _ in fb]
+    for (_, a), (_, b) in zip(fa, fb):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # kinetics-i3d has ~12.3M params
+    n = sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
+    assert 12e6 < n < 13e6, n
+
+    logits, pooled = model.apply(variables, jnp.zeros((1, 16, 64, 64, 3)))
+    assert logits.shape == (1, 400) and pooled.shape == (1, 1024)
+    assert bool(jnp.isfinite(logits).all())
+
+    # a renamed key fails loudly
+    bad = dict(sd)
+    bad["Mixed_9z.b0.conv3d.weight"] = bad.pop("Mixed_5c.b0.conv3d.weight")
+    import pytest as _pytest
+    with _pytest.raises(AssertionError):
+        import_i3d(bad)
