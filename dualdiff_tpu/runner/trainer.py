@@ -389,13 +389,41 @@ class MultiviewTrainer:
         }, repl)
 
     # ------------------------------------------------------------------
-    def _batches(self, epoch: int):
+    def _batch_plan(self, epoch: int):
+        """Deterministic (epoch, offset, indices) schedule for one epoch."""
         bs = int(self.cfg.runner.train_batch_size)
         rng = np.random.default_rng(int(self.cfg.seed) + epoch)
         order = rng.permutation(len(self.train_set))
         for i in range(0, len(order) - bs + 1, bs):
-            samples = [self.train_set[int(j)] for j in order[i:i + bs]]
-            yield prepare_batch(self._collate_items(samples, rng))
+            yield epoch, i, [int(j) for j in order[i:i + bs]]
+
+    def _build_host_batch(self, plan) -> Dict:
+        """Fetch + decode + collate one planned batch (thread-safe: the
+        collate rng is derived from the plan, not shared state)."""
+        epoch, i, idxs = plan
+        rng = np.random.default_rng([int(self.cfg.seed), epoch, i])
+        samples = [self.train_set[j] for j in idxs]
+        return prepare_batch(self._collate_items(samples, rng))
+
+    def _build_device_batch(self, plan):
+        return shard_batch(self._build_host_batch(plan), self.mesh)
+
+    def _batches(self, epoch: int):
+        """Serial host-batch iterator (tests / num_workers=0 path)."""
+        for plan in self._batch_plan(epoch):
+            yield self._build_host_batch(plan)
+
+    def _device_batches(self, epoch: int):
+        """Device-resident batches, background-prefetched when
+        runner.num_workers > 0 (role of the reference's DataLoader workers,
+        ``base_runner.py:150-183``): batch k+1 decodes/collates and
+        device_puts on worker threads while the device runs step k."""
+        from ..data.prefetch import prefetch_map
+
+        nw = int(self.cfg.runner.get("num_workers", 0) or 0)
+        depth = int(self.cfg.runner.get("prefetch_factor", 2) or 2)
+        return prefetch_map(self._build_device_batch, self._batch_plan(epoch),
+                            num_workers=nw, depth=depth)
 
     def run(self, max_steps: Optional[int] = None,
             on_metrics=None) -> Dict[str, float]:
@@ -405,8 +433,8 @@ class MultiviewTrainer:
         last = {}
         step = int(self.state["step"])
         while step < limit:
-            for batch in self._batches(step // max(self.steps_per_epoch, 1)):
-                batch = shard_batch(batch, self.mesh)
+            for batch in self._device_batches(
+                    step // max(self.steps_per_epoch, 1)):
                 self.state, metrics = self.train_step(
                     self.state, self.frozen, batch, self.rng)
                 step = int(self.state["step"])

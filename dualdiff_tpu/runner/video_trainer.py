@@ -63,14 +63,7 @@ class VideoTrainer(MultiviewTrainer):
             reward_weight=float(cfg.video.rgd.reward_weight) if rgd else 0.0,
         ), donate_argnums=(0,), out_shardings=(repl, repl))
 
-    # clip datasets return a list of frames per item -----------------------
+    # clip datasets return a list of frames per item; the base trainer's
+    # batch plumbing (plan -> build -> prefetch) applies unchanged
     def _collate_items(self, items, rng):
         return collate_video(items, self.cfg, self.tokenizer, rng=rng)
-
-    def _batches(self, epoch: int):
-        bs = int(self.cfg.runner.train_batch_size)
-        rng = np.random.default_rng(int(self.cfg.seed) + epoch)
-        order = rng.permutation(len(self.train_set))
-        for i in range(0, len(order) - bs + 1, bs):
-            clips = [self.train_set[int(j)] for j in order[i:i + bs]]
-            yield prepare_batch(self._collate_items(clips, rng))

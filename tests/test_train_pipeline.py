@@ -176,3 +176,18 @@ def test_class_tokens_clip_initialized(vanilla):
     np.testing.assert_allclose(
         np.asarray(tokens, np.float32), np.asarray(pooled, np.float32),
         rtol=0.1, atol=0.05)
+
+
+def test_train_with_prefetch_workers(vanilla):
+    """run() with runner.num_workers>0 exercises the threaded prefetch
+    pipeline end-to-end (decode+collate+device_put on worker threads)."""
+    vanilla.cfg.runner.num_workers = 2
+    vanilla.cfg.runner.prefetch_factor = 2
+    start = int(vanilla.state["step"])
+    vanilla.max_train_steps = start + 2  # debug runner caps at 2
+    try:
+        metrics = vanilla.run(max_steps=start + 2)
+        assert int(vanilla.state["step"]) == start + 2
+        assert np.isfinite(metrics["loss"])
+    finally:
+        vanilla.cfg.runner.num_workers = 0
