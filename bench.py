@@ -144,6 +144,14 @@ def main():
     dt = (time.time() - t0) / iters
     fps = B / dt  # six-view frame-sets per second per chip
 
+    # auditable MFU: XLA's own FLOP count for the compiled graph (a jit
+    # cache hit after the call above) over the v5e bf16 peak
+    from dualdiff_tpu.utils.flops import device_peak_flops, jit_flops
+
+    gen_flops = jit_flops(generate, params, jax.random.PRNGKey(2))
+    peak = device_peak_flops()
+    mfu = (gen_flops / dt / peak) if (gen_flops and peak) else None
+
     result = {
         "metric": "6-view 224x400 frames/sec/chip (UniPC-20, CFG 2, dual-branch)",
         "value": round(fps, 4),
@@ -156,10 +164,67 @@ def main():
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
             "baseline_assumption_fps": A100_BASELINE_FPS,
+            "model_tflops": round(gen_flops / 1e12, 2) if gen_flops else None,
+            "mfu": round(mfu, 4) if mfu else None,
         },
     }
     print(json.dumps(result))
 
 
+def main_video():
+    """Secondary bench (BENCH_MODE=video_16f): DualDiff+ 16-frame 6-view clip
+    generation through the full pipeline (ST-Attn + temporal UNet, dual
+    branch, UniPC-20, CFG).  Reports clips/s/chip (and frames/s = 16x)."""
+    from dualdiff_tpu import enable_compilation_cache
+
+    enable_compilation_cache()
+    from dualdiff_tpu.data.video import SyntheticNuScenesVideo
+    from dualdiff_tpu.pipeline.bev_controlnet import BEVControlNetPipeline
+    from dualdiff_tpu.runner.train_state import merge_params
+    from dualdiff_tpu.runner.video_trainer import VideoTrainer
+    from dualdiff_tpu.utils.config import load_config
+
+    frames = int(os.environ.get("BENCH_FRAMES", "16"))
+    cfg = load_config("configs", overrides=[
+        "+exp=video_16f", f"video.num_frames={frames}"])
+    clips = SyntheticNuScenesVideo(num_clips=2, num_frames=frames,
+                                   image_size=(224, 400))
+    print("# building video models + params (jit on device)...", flush=True)
+    trainer = VideoTrainer(cfg, clips, tiny=False)
+    params = merge_params(trainer.state["params"], trainer.frozen)
+    pipe = BEVControlNetPipeline(cfg, trainer.models, params,
+                                 trainer.schedule)
+    batch = trainer._collate_items([clips[0]], np.random.default_rng(0))
+
+    print("# compiling clip generation graph...", flush=True)
+    t0 = time.time()
+    out = pipe(batch, jax.random.PRNGKey(1))
+    _ = float(out[0, 0, 0, 0, 0])
+    compile_s = time.time() - t0
+    print(f"# compile+first-run {compile_s:.1f}s", flush=True)
+
+    iters = 3
+    t0 = time.time()
+    for i in range(iters):
+        out = pipe(batch, jax.random.PRNGKey(2 + i))
+        _ = float(out[0, 0, 0, 0, 0])
+    dt = (time.time() - t0) / iters
+
+    print(json.dumps({
+        "metric": f"{frames}-frame 6-view 224x400 clips/sec/chip "
+                  "(UniPC-20, CFG, dual-branch, ST-Attn+temporal)",
+        "value": round(1.0 / dt, 4),
+        "unit": "clips/s/chip",
+        "vs_baseline": None,  # no reference video stack exists (SURVEY §0)
+        "detail": {"sec_per_clip": round(dt, 3),
+                   "frames_per_s": round(frames / dt, 3),
+                   "compile_s": round(compile_s, 1),
+                   "backend": jax.default_backend()},
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_MODE", "") == "video_16f":
+        main_video()
+    else:
+        main()

@@ -197,6 +197,14 @@ def _flash_padded_fwd(qb, kb, vb, scale, lens, blocks):
 def _flash_padded_bwd(scale, lens, blocks, res, g):
     qb, kb, vb, out, lse = res
     lq, lk = lens
+    lq_orig, lk_orig = qb.shape[1], kb.shape[1]
+    # re-pad to 512-multiples so the backward can use VMEM-safe 512 blocks
+    # even when the forward ran minimally-padded whole-sequence blocks.
+    # padded q rows get lse=0, so p = exp(-1e30 - 0) = 0 in _bwd_dkv; padded
+    # k cols are masked by kv_len in _bwd_dq; padded g rows are zero.
+    qb, out, g = (_pad_to(x, 1, 512) for x in (qb, out, g))
+    kb, vb = _pad_to(kb, 1, 512), _pad_to(vb, 1, 512)
+    lse = _pad_to(lse, 1, 512)
     bh, lq_p, d_p = qb.shape
     lk_p = kb.shape[1]
     block_q, block_k = _bwd_blocks(blocks[0], blocks[1], lq_p, lk_p)
@@ -258,7 +266,8 @@ def _flash_padded_bwd(scale, lens, blocks, res, g):
         ),
         interpret=_interpret(),
     )(qb, kb, vb, g.astype(qb.dtype), lse, delta)
-    return dq, dk, dv
+    # cotangents must match the forward's (minimally padded) primal avals
+    return dq[:, :lq_orig], dk[:, :lk_orig], dv[:, :lk_orig]
 
 
 _flash_padded.defvjp(_flash_padded_fwd, _flash_padded_bwd)
@@ -266,22 +275,30 @@ _flash_padded.defvjp(_flash_padded_fwd, _flash_padded_bwd)
 
 def _auto_blocks(lq: int, lk: int, score_cap: int = 2 * 1024 * 1024):
     """Whole-sequence blocks when the (bq, bk) fp32 score tile fits VMEM
-    (one K/V load per head — measured fastest at SD shapes); otherwise cap
-    bq so bq*bk stays under ~8MB of scores.  Sequences pad to 512-multiples
-    so the backward can always drop to 512 blocks (its temporaries need
-    ~2.5x the score tile and VMEM-OOM at whole-sequence blocks)."""
-    up = lambda x: -(-x // 512) * 512 if x > 128 else 128
-    bk = up(lk)
-    bq = up(lq)
+    (one K/V load per head — measured fastest at SD shapes: 1400-token SD
+    self-attn pads 128-mult to 1408 whole blocks, the 0.72 fps config);
+    otherwise cap bq under ~8MB of scores, choosing bq to MINIMIZE q
+    padding (an arbitrary cap like 1280 on lq=1400 pads to 2560 — 83%
+    wasted MACs, the r1 0.72->0.61 regression).  The backward re-pads to
+    512-multiples itself (``_flash_padded_bwd``), so fwd padding stays
+    minimal."""
+    up = lambda x: max(128, -(-x // 128) * 128)
+    bq, bk = up(lq), up(lk)
     if bq * bk > score_cap:
         bk = min(bk, 1536)
-        bq = max(128, (score_cap // bk) // 128 * 128)
+        cap_bq = max(128, (score_cap // bk) // 128 * 128)
+        # largest bq whose padding waste is within one 256-row bucket of
+        # the minimum (big blocks amortize grid overhead; waste costs MACs)
+        bq = min(range(128, cap_bq + 1, 128),
+                 key=lambda b: ((-(-lq // b) * b - lq) // 256, -b))
     return bq, bk
 
 
 def _bwd_blocks(block_q: int, block_k: int, lq_p: int, lk_p: int):
     """Smaller blocks for the backward kernels (must divide the padded
-    lengths chosen by the forward)."""
+    lengths, which the backward re-pads to 512-multiples): the bwd
+    temporaries need ~2.5x the score tile and VMEM-OOM at whole-sequence
+    blocks."""
     bq = 512 if (block_q > 512 and lq_p % 512 == 0) else block_q
     bk = 512 if (block_k > 512 and lk_p % 512 == 0) else block_k
     return bq, bk

@@ -36,6 +36,8 @@ from ..ops.fgm import fgm_heatmap
 from ..ops.mscn import mscn_luminance
 from ..ops.ors import filter_fg_bg, occupancy_ray_sample
 from ..parallel.mesh import create_mesh, replicate, shard_batch
+from ..utils.flops import jit_flops, mfu
+from ..utils.profiling import StepTimer
 from .factory import build_models
 from .train_state import (
     build_optimizer,
@@ -432,6 +434,7 @@ class MultiviewTrainer:
         ckpt_every = int(cfg.runner.checkpointing_steps)
         last = {}
         step = int(self.state["step"])
+        timer = StepTimer()
         while step < limit:
             for batch in self._device_batches(
                     step // max(self.steps_per_epoch, 1)):
@@ -439,6 +442,21 @@ class MultiviewTrainer:
                     self.state, self.frozen, batch, self.rng)
                 step = int(self.state["step"])
                 last = {k: float(v) for k, v in metrics.items()}
+                # float() above fetched a value => true device sync; tick now
+                timer.tick()
+                if timer.flops is None:
+                    # after the 1st call lower+compile is a jit-cache hit —
+                    # XLA's own FLOP count for the compiled step (audit: MFU)
+                    timer.flops = jit_flops(self.train_step, self.state,
+                                            self.frozen, batch, self.rng)
+                stats = timer.stats()
+                if stats:
+                    last.update(step_time_s=stats["step_time_s"])
+                    if "tflops_per_s" in stats:
+                        last["tflops_per_s"] = stats["tflops_per_s"]
+                    u = mfu(timer.flops, stats["step_time_s"])
+                    if u is not None:
+                        last["mfu"] = u
                 if not np.isfinite(last["loss"]):
                     raise FloatingPointError(f"NaN/Inf loss at step {step}")
                 if on_metrics:

@@ -95,6 +95,28 @@ def test_flash_attention_gradients_match_einsum(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-3)
 
 
+def test_flash_attention_auto_block_gradients(rng):
+    """Auto-block path at the SD self-attn shape: fwd runs whole-sequence
+    minimally-padded (1400->1408) blocks; bwd re-pads to 512-multiples
+    (1536) and must still match einsum grads exactly on the real rows."""
+    from dualdiff_tpu.ops.attention import _auto_blocks
+
+    assert _auto_blocks(1400, 1400) == (1408, 1408)  # the 0.72-fps config
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    b, l, h, d = 1, 1400, 1, 16
+    q = jax.random.normal(k1, (b, l, h, d), jnp.float32)
+    k = jax.random.normal(k2, (b, l, h, d), jnp.float32)
+    v = jax.random.normal(k3, (b, l, h, d), jnp.float32)
+    ref_w = jax.random.normal(k4, (b, l, h, d), jnp.float32)
+
+    gf = jax.grad(lambda *a: jnp.sum(flash_attention(*a) * ref_w),
+                  argnums=(0, 1, 2))(q, k, v)
+    ge = jax.grad(lambda *a: jnp.sum(mha_einsum(*a) * ref_w),
+                  argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, ge):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-3)
+
+
 def test_groupnorm_silu_matches_xla(rng):
     from dualdiff_tpu.ops.groupnorm import groupnorm_silu, _xla_forward, _pallas_forward
 
