@@ -12,8 +12,9 @@ Stage 2 (Reward-Guided Diffusion): freeze everything except LoRA adapters on
 the UNet attention projections; add a reward term computed on the decoded
 denoised prediction plus the FGM foreground-masked loss.  The reward model
 is pluggable (``reward_fn(pred_images, gt_images, batch) -> per-image
-score``); the default proxy rewards GT reconstruction (documented stand-in —
-swap in a trained perception/aesthetic reward when assets are available).
+score``); the config default is the paper's FGM-masked foreground-fidelity
+reward + temporal motion consistency (``runner/rewards.py``), selectable via
+``video.rgd.reward`` (``mse_proxy`` keeps the simple reconstruction proxy).
 """
 
 from __future__ import annotations
@@ -26,19 +27,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.video import collate_video
+from .rewards import make_rgd_reward, mse_proxy_reward
 from .trainer import MultiviewTrainer, make_train_step, prepare_batch
 
 log = logging.getLogger(__name__)
 
 __all__ = ["VideoTrainer", "default_reward_fn"]
 
-
-def default_reward_fn(pred_images: jnp.ndarray, gt_images: jnp.ndarray,
-                      batch: Dict) -> jnp.ndarray:
-    """Reconstruction-proxy reward in [-inf, 0]: negative pixel MSE."""
-    return -jnp.mean(
-        (pred_images.astype(jnp.float32) - gt_images.astype(jnp.float32)) ** 2,
-        axis=(1, 2, 3))
+# back-compat alias; the config-selected default is make_rgd_reward(cfg)
+default_reward_fn = mse_proxy_reward
 
 
 class VideoTrainer(MultiviewTrainer):
@@ -59,7 +56,7 @@ class VideoTrainer(MultiviewTrainer):
         self.train_step = jax.jit(make_train_step(
             self.models, cfg, self.schedule, self.tx, self.latent_hw,
             self.image_hw, frames=self.num_frames,
-            reward_fn=(reward_fn or default_reward_fn) if rgd else None,
+            reward_fn=(reward_fn or make_rgd_reward(cfg)) if rgd else None,
             reward_weight=float(cfg.video.rgd.reward_weight) if rgd else 0.0,
         ), donate_argnums=(0,), out_shardings=(repl, repl))
 
