@@ -40,15 +40,8 @@ class BEVControlNetPipeline:
                  cast_params: bool = True):
         self.cfg = cfg
         self.models = models
-        if cast_params:
-            # inference weights in compute precision: halves HBM weight
-            # streaming per denoise step (the dominant cost at small batch)
-            dtype = models.get("dtype", jnp.bfloat16)
-            params = jax.tree_util.tree_map(
-                lambda x: x.astype(dtype)
-                if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
-                else x, params)
-        self.params = params
+        self._cast = cast_params
+        self.set_params(params)
         self.schedule = schedule or DiffusionSchedule.create()
         h, w = cfg.dataset.image_size
         self.latent_hw = (h // 8, w // 8)
@@ -63,6 +56,22 @@ class BEVControlNetPipeline:
             conditioning_scale=float(pp.controlnet_conditioning_scale),
         ), static_argnames=("num_inference_steps", "guidance_scale",
                             "scheduler", "conditioning_scale"))
+
+    # ------------------------------------------------------------------
+    def set_params(self, params: Dict) -> None:
+        """Swap in new weights (e.g. each validation call) without touching
+        the jitted generate — params are a traced argument, so the compiled
+        executable is reused as long as shapes/dtypes match."""
+        if self._cast:
+            # inference weights in compute precision: halves HBM weight
+            # streaming per denoise step (the dominant cost at small batch)
+            dtype = self.models.get("dtype", jnp.bfloat16)
+            params = jax.tree_util.tree_map(
+                lambda x: x.astype(dtype)
+                if hasattr(x, "dtype") and jnp.issubdtype(x.dtype,
+                                                          jnp.floating)
+                else x, params)
+        self.params = params
 
     # ------------------------------------------------------------------
     def __call__(self, batch: Dict, rng: jax.Array,

@@ -35,14 +35,21 @@ class Validator:
         self.cfg = cfg
         self.val_dataset = val_dataset
         self.tokenizer = tokenizer
+        self._pipe = None
 
     def validate(self, trainer, writer=None, step: int = 0,
                  max_items: Optional[int] = None):
         cfg = self.cfg
-        params = merge_params(jax.device_get(trainer.state["params"]),
-                              jax.device_get(trainer.frozen))
-        pipe = BEVControlNetPipeline(cfg, trainer.models, params,
-                                     trainer.schedule)
+        # merge on DEVICE — a device_get here round-trips ~1.5GB through the
+        # axon tunnel and re-uploads leaf-by-leaf in the cast (minutes); and
+        # reuse one pipeline so its jitted generate compiles once per run
+        params = merge_params(trainer.state["params"], trainer.frozen)
+        if self._pipe is None:
+            self._pipe = BEVControlNetPipeline(cfg, trainer.models, params,
+                                               trainer.schedule)
+        else:
+            self._pipe.set_params(params)
+        pipe = self._pipe
         indices = list(cfg.runner.validation_index)[: max_items or None]
         times = int(cfg.runner.validation_times)
         outs = []
