@@ -52,6 +52,10 @@ class ResnetBlock2D(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, temb: jnp.ndarray) -> jnp.ndarray:
         in_ch = x.shape[-1]
+        # GN stays on XLA: it fuses conv + GN-stats + normalize + silu into
+        # single deep fusions at these shapes; an opaque pallas GN kernel
+        # breaks those chains and measured NET SLOWER end-to-end (r2:
+        # 1.417 vs 1.371 s/frame) despite a fast kernel — see RESULTS.md
         g = min(self.groups, in_ch)
         h = nn.GroupNorm(g, epsilon=self.eps, dtype=jnp.float32,
                          name="norm1")(x)
