@@ -282,10 +282,13 @@ def _auto_blocks(lq: int, lk: int, score_cap: int = 2 * 1024 * 1024):
     wasted MACs, the r1 0.72->0.61 regression).  The backward re-pads to
     512-multiples itself (``_flash_padded_bwd``), so fwd padding stays
     minimal."""
-    up = lambda x: max(128, -(-x // 128) * 128)
-    bq, bk = up(lq), up(lk)
+    # whole-sequence blocks only need 8-row alignment (mosaic accepts any
+    # %8 second-minor block dim; the last dim is the full native head_dim)
+    # — so SD's 1400-token attention runs with ZERO sequence padding
+    up8 = lambda x: max(128, -(-x // 8) * 8)
+    bq, bk = up8(lq), up8(lk)
     if bq * bk > score_cap:
-        bk = min(bk, 1536)
+        bk = min(max(128, -(-lk // 128) * 128), 1536)
         cap_bq = max(128, (score_cap // bk) // 128 * 128)
         # largest bq whose padding waste is within one 256-row bucket of
         # the minimum (big blocks amortize grid overhead; waste costs MACs)

@@ -97,11 +97,11 @@ def test_flash_attention_gradients_match_einsum(rng):
 
 def test_flash_attention_auto_block_gradients(rng):
     """Auto-block path at the SD self-attn shape: fwd runs whole-sequence
-    minimally-padded (1400->1408) blocks; bwd re-pads to 512-multiples
+    ZERO-padded (1400 is already %8) blocks; bwd re-pads to 512-multiples
     (1536) and must still match einsum grads exactly on the real rows."""
     from dualdiff_tpu.ops.attention import _auto_blocks
 
-    assert _auto_blocks(1400, 1400) == (1408, 1408)  # the 0.72-fps config
+    assert _auto_blocks(1400, 1400) == (1400, 1400)  # no sequence padding
     k1, k2, k3, k4 = jax.random.split(rng, 4)
     b, l, h, d = 1, 1400, 1, 16
     q = jax.random.normal(k1, (b, l, h, d), jnp.float32)
