@@ -1,0 +1,82 @@
+"""End-to-end val_set_gen CLI: the downstream-consumer tree (reference
+``perception/data_prepare/val_set_gen.py`` + ``tools/downstream_v3`` role —
+synthetic ``samples/CAM_*/`` trees feeding BEVFusion/CVT eval)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from dualdiff_tpu.utils.config import load_config
+
+CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
+IMG = [32, 48]
+
+
+def _run(tmp, naming, extra=()):
+    import tools.val_set_gen as vsg
+
+    overrides = [
+        "+exp=224x400", "runner=debug", "dataset=Nuscenes_synthetic",
+        f"dataset.image_size={IMG}", "dataset.back_resize=[64,96]",
+        "dataset.back_pad=[0,2,0,0]", "tiny_models=true",
+        "dataset.num_samples=3", f"log_root={tmp}",
+        f"gen_naming={naming}", *extra,
+    ]
+    vsg.main(overrides)
+    return os.path.join(tmp, "val_set_gen", "samples")
+
+
+def test_val_set_gen_downstream_tree(tmp_path):
+    """original-filename naming produces the downstream consumer layout
+    (``samples/CAM_X/<original basename>.png``) at back_resize+back_pad
+    geometry, and a re-run resumes (skips everything)."""
+    from PIL import Image
+
+    root = _run(str(tmp_path), "original")
+    cfg = load_config(CONFIG_DIR, overrides=[
+        "dataset=Nuscenes_synthetic", f"dataset.image_size={IMG}"])
+    cams = list(cfg.dataset.view_order)
+    ds_cfg = load_config(CONFIG_DIR, overrides=[
+        "dataset=Nuscenes_synthetic", f"dataset.image_size={IMG}",
+        "dataset.num_samples=3"])
+    from dualdiff_tpu.data.wrappers import build_dataset
+
+    val = build_dataset(ds_cfg, "val")
+    for v, cam in enumerate(cams):
+        files = sorted(os.listdir(os.path.join(root, cam)))
+        assert len(files) == 3, f"{cam}: {files}"
+        # named exactly after the ORIGINAL per-view files (downstream
+        # consumers index by the real nuScenes basenames, .jpg included)
+        want = sorted(os.path.basename(val[i]["filenames"][v])
+                      for i in range(3))
+        assert files == want
+        img = Image.open(os.path.join(root, cam, files[0]))
+        # back_resize (64, 96) + pad top 2 -> 96 x 66
+        assert img.size == (96, 66)
+        arr = np.asarray(img)
+        # top pad rows are black (near-black after JPEG quantization —
+        # original basenames keep the .jpg extension)
+        assert float(arr[:2].mean()) < 25.0
+    # resume: second run must skip all samples (no regeneration)
+    before = {cam: {f: os.path.getmtime(os.path.join(root, cam, f))
+                    for f in os.listdir(os.path.join(root, cam))}
+              for cam in cams}
+    _run(str(tmp_path), "original")
+    after = {cam: {f: os.path.getmtime(os.path.join(root, cam, f))
+                   for f in os.listdir(os.path.join(root, cam))}
+             for cam in cams}
+    assert before == after
+
+
+def test_val_set_gen_token_naming_shard(tmp_path):
+    """token naming (FID pairing) + sharding covers a disjoint subset."""
+    root = _run(str(tmp_path), "token",
+                extra=["gen_shard=0", "gen_num_shards=2"])
+    cfg = load_config(CONFIG_DIR, overrides=[
+        "dataset=Nuscenes_synthetic", f"dataset.image_size={IMG}"])
+    cams = list(cfg.dataset.view_order)
+    n = [len(os.listdir(os.path.join(root, c))) for c in cams]
+    assert n == [2] * 6  # shard 0 of 2 over 3 samples -> indices 0, 2
+    f = os.listdir(os.path.join(root, cams[0]))[0]
+    assert f.endswith(f"_{cams[0]}.png")  # <token>_<cam>.png

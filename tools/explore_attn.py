@@ -45,8 +45,8 @@ def main(argv=None):
         trainer.load_checkpoint(str(cfg.resume_from_checkpoint))
     from dualdiff_tpu.runner.train_state import merge_params
 
-    params = merge_params(jax.device_get(trainer.state["params"]),
-                          jax.device_get(trainer.frozen))
+    # device-side merge (device_get would round-trip ~1.5GB via the tunnel)
+    params = merge_params(trainer.state["params"], trainer.frozen)
 
     batch = prepare_batch(trainer._collate_items([ds[0]],
                                                  np.random.default_rng(0)))

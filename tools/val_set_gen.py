@@ -57,8 +57,9 @@ def main(argv=None):
     trainer = MultiviewTrainer(cfg, val_set)
     if cfg.resume_from_checkpoint:
         trainer.load_checkpoint(str(cfg.resume_from_checkpoint))
-    params = merge_params(jax.device_get(trainer.state["params"]),
-                          jax.device_get(trainer.frozen))
+    # merge on DEVICE: a device_get round-trips ~1.5GB through the axon
+    # tunnel and re-uploads leaf-by-leaf in the pipeline's bf16 cast
+    params = merge_params(trainer.state["params"], trainer.frozen)
     pipe = BEVControlNetPipeline(cfg, trainer.models, params, trainer.schedule)
 
     view_order = list(cfg.dataset.view_order)
