@@ -27,7 +27,10 @@ A100_BASELINE_FPS = 0.5  # estimated; see module docstring
 
 STEPS = 20
 GUIDANCE = 2.0
-B = int(os.environ.get("BENCH_BATCH", "1"))
+# default batch = 2: the measured throughput-optimal operating point on one
+# v5e (r2 sweep: B=1 0.741, B=2 0.749+, B=4 0.692 — HBM pressure); the
+# reported metric stays per-chip frames/s with batch recorded in detail
+B = int(os.environ.get("BENCH_BATCH", "2"))
 N, LH, LW = 6, 28, 50
 MAX_LEN = 80
 
@@ -186,7 +189,9 @@ def main_video():
 
     frames = int(os.environ.get("BENCH_FRAMES", "16"))
     cfg = load_config("configs", overrides=[
-        "+exp=video_16f", f"video.num_frames={frames}"])
+        "+exp=video_16f", f"video.num_frames={frames}",
+        "runner.pipeline_param.vae_slicing=12",
+        "runner.pipeline_param.sequential_cfg=true"])
     clips = SyntheticNuScenesVideo(num_clips=2, num_frames=frames,
                                    image_size=(224, 400))
     print("# building video models + params (jit on device)...", flush=True)
@@ -195,6 +200,11 @@ def main_video():
     pipe = BEVControlNetPipeline(cfg, trainer.models, params,
                                  trainer.schedule)
     batch = trainer._collate_items([clips[0]], np.random.default_rng(0))
+    # the pipeline holds its own bf16 cast: free the fp32 training state
+    # and frozen originals (~4GB HBM) before generating
+    trainer.state = None
+    trainer.frozen = None
+    del params
 
     print("# compiling clip generation graph...", flush=True)
     t0 = time.time()

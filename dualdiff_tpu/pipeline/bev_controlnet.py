@@ -176,15 +176,14 @@ class BEVControlNetPipeline:
                 precompute_only=True,
             ))
 
-        def model_fn(x, t):
-            x2 = jnp.concatenate([x, x])  # (2B, N, lh, lw, 4)
-            t2 = jnp.full((2 * B,), t, jnp.int32)
+        def eval_branches(xb, tb, cam_b, text_b, conds_b, pre_b, nb):
+            """One CN(s)+UNet evaluation on a (nb, N, ...) batch."""
             downs = mid = kv = None
             for i, cn in enumerate(controlnets):
                 d, m, k = cn.apply(
                     {"params": params[f"controlnet_{i}"]},
-                    x2, t2, cam2, text2, conds2[i],
-                    precomputed=pre[i],
+                    xb, tb, cam_b, text_b, conds_b[i],
+                    precomputed=pre_b[i],
                     conditioning_scale=conditioning_scale,
                 )
                 if downs is None:
@@ -192,15 +191,41 @@ class BEVControlNetPipeline:
                 else:
                     downs = [a + b for a, b in zip(downs, d)]
                     mid = mid + m
-            eps = unet.apply(
+            return unet.apply(
                 {"params": params["unet"]},
-                x2.reshape(2 * B * N, lh, lw, 4),
-                jnp.repeat(t2, N), kv,
+                xb.reshape(nb * N, lh, lw, 4),
+                jnp.repeat(tb, N), kv,
                 down_block_additional_residuals=downs,
                 mid_block_additional_residual=mid, n_cam=N,
-            ).astype(jnp.float32).reshape(2, B, N, lh, lw, 4)
-            e_un, e_c = eps[0], eps[1]
-            return e_un + guidance_scale * (e_c - e_un)
+            ).astype(jnp.float32).reshape(nb, N, lh, lw, 4)
+
+        # sequential CFG (pipeline_param.sequential_cfg): evaluate the
+        # uncond and cond halves one after the other via lax.map — halves
+        # the activation peak so 16-frame clips fit one 16GB v5e (role of
+        # diffusers' guidance batching options; VAE slicing's sibling)
+        seq_cfg = bool(self.cfg.runner.pipeline_param.get(
+            "sequential_cfg", False))
+        if seq_cfg:
+            def split2(tree):
+                return jax.tree_util.tree_map(
+                    lambda a: a.reshape(2, a.shape[0] // 2, *a.shape[1:]),
+                    tree)
+
+            halves = split2((cam2, text2, conds2, pre))
+
+            def model_fn(x, t):
+                t1 = jnp.full((B,), t, jnp.int32)
+                eps2 = jax.lax.map(
+                    lambda h: eval_branches(x, t1, h[0], h[1], h[2], h[3],
+                                            B), halves)
+                return eps2[0] + guidance_scale * (eps2[1] - eps2[0])
+        else:
+            def model_fn(x, t):
+                x2 = jnp.concatenate([x, x])  # (2B, N, lh, lw, 4)
+                t2 = jnp.full((2 * B,), t, jnp.int32)
+                eps = eval_branches(x2, t2, cam2, text2, conds2, pre, 2 * B)
+                eps = eps.reshape(2, B, N, lh, lw, 4)
+                return eps[0] + guidance_scale * (eps[1] - eps[0])
 
         if conditional_latents is not None and conditional_mask is not None:
             # pin given views to noised GT latents at every step (GivenView)
@@ -226,8 +251,20 @@ class BEVControlNetPipeline:
             lat = unipc_sample(self.schedule, fn, lat0,
                                num_inference_steps=num_inference_steps)
 
-        imgs = vae.apply(
-            {"params": params["vae"]}, lat.reshape(B * N, lh, lw, 4),
-            method=vae.decode)
+        flat = lat.reshape(B * N, lh, lw, 4)
+        # VAE slicing (reference enable_vae_slicing, val_set_gen.py:120):
+        # decode in chunks so 16-frame clips (96+ images) fit HBM
+        chunk = int(self.cfg.runner.pipeline_param.get("vae_slicing", 0))
+        if chunk and flat.shape[0] > chunk:
+            pad = (-flat.shape[0]) % chunk
+            padded = jnp.pad(flat, ((0, pad), (0, 0), (0, 0), (0, 0)))
+            imgs = jax.lax.map(
+                lambda c: vae.apply({"params": params["vae"]}, c,
+                                    method=vae.decode),
+                padded.reshape(-1, chunk, lh, lw, 4))
+            imgs = imgs.reshape(-1, *imgs.shape[2:])[: B * N]
+        else:
+            imgs = vae.apply({"params": params["vae"]}, flat,
+                             method=vae.decode)
         imgs = (imgs.astype(jnp.float32) / 2 + 0.5).clip(0.0, 1.0)
         return imgs.reshape(B, N, *imgs.shape[1:])

@@ -187,6 +187,27 @@ def test_rgd_reward_moves_training(clips):
     assert r1 > r0
 
 
+def test_vae_slicing_matches_unsliced(clips):
+    """pipeline_param.vae_slicing chunks the decode without changing the
+    output (incl. a chunk that doesn't divide B*N)."""
+    from dualdiff_tpu.pipeline.bev_controlnet import BEVControlNetPipeline
+    from dualdiff_tpu.runner.train_state import merge_params
+
+    cfg = _cfg("video_16f")
+    trainer = VideoTrainer(cfg, clips, tiny=True)
+    params = merge_params(trainer.state["params"], trainer.frozen)
+    batch = trainer._collate_items([clips[0]], np.random.default_rng(0))
+    ref = np.asarray(BEVControlNetPipeline(
+        cfg, trainer.models, params, trainer.schedule)(
+            batch, jax.random.PRNGKey(0)))
+    cfg.runner.pipeline_param.vae_slicing = 5  # F*6=12 images, 5 ∤ 12
+    cfg.runner.pipeline_param.sequential_cfg = True
+    got = np.asarray(BEVControlNetPipeline(
+        cfg, trainer.models, params, trainer.schedule)(
+            batch, jax.random.PRNGKey(0)))
+    np.testing.assert_allclose(got, ref, atol=2e-2)
+
+
 def test_video_pipeline_generate(clips):
     """Clip generation through the standard pipeline: frames fold into the
     batch dim (frame-outer), ST-Attn/temporal couple them inside the UNet."""
