@@ -53,8 +53,8 @@ def main(argv=None):
     trainer = MultiviewTrainer(cfg, val_set)
     if cfg.resume_from_checkpoint:
         trainer.load_checkpoint(str(cfg.resume_from_checkpoint))
-    params = merge_params(jax.device_get(trainer.state["params"]),
-                          jax.device_get(trainer.frozen))
+    params = merge_params(trainer.state["params"],
+                          trainer.frozen)
     pipe = BEVControlNetPipeline(cfg, trainer.models, params, trainer.schedule)
 
     from PIL import Image
