@@ -64,3 +64,25 @@ def test_dp4_view2_train_step(mesh, trainer):
     # Params must be replicated (grads all-reduced by XLA's psum).
     some_leaf = jax.tree_util.tree_leaves(trainer.state["params"])[0]
     assert some_leaf.sharding.is_fully_replicated
+
+
+def test_dp_sharded_generation(mesh, trainer):
+    """Data-parallel GENERATION: the pipeline's jitted graph partitions over
+    the data axis when fed a sharded batch (serving scale-out; the train
+    step above covers the training side)."""
+    from dualdiff_tpu.pipeline.bev_controlnet import BEVControlNetPipeline
+    from dualdiff_tpu.runner.train_state import merge_params
+
+    params = merge_params(trainer.state["params"], trainer.frozen)
+    pipe = BEVControlNetPipeline(trainer.cfg, trainer.models, params,
+                                 trainer.schedule)
+    batch = next(trainer._batches(epoch=0))  # B=4, already prepared
+    sharded = shard_batch(batch, mesh)
+    imgs = pipe(sharded, jax.random.PRNGKey(0))
+    h, w = IMG
+    assert imgs.shape == (4, 6, h, w, 3)
+    assert np.isfinite(np.asarray(imgs)).all()
+    # the output batch dim stays partitioned over 'data' (no gather to one
+    # device mid-graph)
+    spec = imgs.sharding.spec
+    assert spec and spec[0] == "data", spec
