@@ -9,6 +9,11 @@ compiles to one XLA program with zero host round-trips.
 ``model_fn(x, t) -> eps`` where ``t`` is a scalar int32 timestep.  Everything
 about conditioning / CFG / classifier-free batching lives inside ``model_fn``.
 
+Stateful variant: pass ``model_state0`` (any pytree) and a
+``model_fn(x, t, i, state) -> (eps, state)`` — the state threads through the
+scan carry (``i`` is the 0-based step index).  Used for Faster-Diffusion-
+style ControlNet-output caching across denoise steps.
+
 Numerics follow the standard DDIM (Song et al.) and UniPC (Zhao et al.,
 bh2 / data-prediction / order 2 with corrector) formulations with
 "leading" (DDIM) / "linspace" (UniPC) timestep spacing so outputs are
@@ -49,6 +54,7 @@ def ddim_sample(
     num_inference_steps: int = 20,
     eta: float = 0.0,
     rng: jax.Array | None = None,
+    model_state0=None,
 ) -> jnp.ndarray:
     """Deterministic (eta=0) / stochastic DDIM as one lax.scan."""
     ts = ddim_timesteps(num_inference_steps, schedule.num_train_timesteps)
@@ -69,9 +75,18 @@ def ddim_sample(
         ),
     }
 
-    def body(x, step):
+    stateful = model_state0 is not None
+    if stateful:
+        xs["i"] = jnp.arange(num_inference_steps, dtype=jnp.int32)
+
+    def body(carry, step):
+        x, mstate = carry if stateful else (carry, None)
         t, at, aprev = step["t"], step["a_t"], step["a_prev"]
-        eps = model_fn(x, t).astype(jnp.float32)
+        if stateful:
+            eps, mstate = model_fn(x, t, step["i"], mstate)
+            eps = eps.astype(jnp.float32)
+        else:
+            eps = model_fn(x, t).astype(jnp.float32)
         x = x.astype(jnp.float32)
         x0 = (x - jnp.sqrt(1.0 - at) * eps) / jnp.sqrt(at)
         if eta > 0.0:
@@ -85,9 +100,13 @@ def ddim_sample(
             x_prev = jnp.sqrt(aprev) * x0 + dir_xt + sigma * noise
         else:
             x_prev = jnp.sqrt(aprev) * x0 + jnp.sqrt(1.0 - aprev) * eps
-        return x_prev, None
+        return ((x_prev, mstate) if stateful else x_prev), None
 
-    final, _ = jax.lax.scan(body, latents.astype(jnp.float32), xs)
+    init = latents.astype(jnp.float32)
+    if stateful:
+        (final, _), _ = jax.lax.scan(body, (init, model_state0), xs)
+    else:
+        final, _ = jax.lax.scan(body, init, xs)
     return final
 
 
@@ -109,6 +128,7 @@ def unipc_sample(
     latents: jnp.ndarray,
     num_inference_steps: int = 20,
     order: int = 2,
+    model_state0=None,
 ) -> jnp.ndarray:
     """UniPC-p2 (bh2, data prediction, corrector enabled, lower_order_final).
 
@@ -214,13 +234,24 @@ def unipc_sample(
     }
 
     zero = jnp.zeros_like(latents, jnp.float32)
+    stateful = model_state0 is not None
+    if stateful:
+        xs["i"] = jnp.arange(n, dtype=jnp.int32)
     # carry: x (sample at current ts[i]), last_sample (at ts[i-1]),
     # m0 (x0-pred at ts[i-1]), m1 (x0-pred at ts[i-2])
     carry0 = (latents.astype(jnp.float32), zero, zero, zero)
+    if stateful:
+        carry0 = carry0 + (model_state0,)
 
     def body(carry, s):
-        x, last_sample, m0, m1 = carry
-        eps = model_fn(x, s["t"]).astype(jnp.float32)
+        if stateful:
+            x, last_sample, m0, m1, mstate = carry
+            eps, mstate = model_fn(x, s["t"], s["i"], mstate)
+            eps = eps.astype(jnp.float32)
+        else:
+            x, last_sample, m0, m1 = carry
+            mstate = None
+            eps = model_fn(x, s["t"]).astype(jnp.float32)
         x0 = (x - s["sqrt_1mac"] * eps) / s["sqrt_ac"]  # model_output_convert
 
         # --- corrector (refine x using fresh eval) -------------------------
@@ -238,7 +269,8 @@ def unipc_sample(
         x_pred = x_pred - s["p_alpha_t"] * s["p_B_h"] * (
             s["pred_hist_on"] * 0.5 * d1s_p
         )
-        return (x_pred, x, x0, m0), None
+        out = (x_pred, x, x0, m0)
+        return (out + (mstate,) if stateful else out), None
 
-    (x_final, _, _, _), _ = jax.lax.scan(body, carry0, xs)
-    return x_final
+    final_carry, _ = jax.lax.scan(body, carry0, xs)
+    return final_carry[0]

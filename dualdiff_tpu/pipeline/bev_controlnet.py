@@ -176,8 +176,8 @@ class BEVControlNetPipeline:
                 precompute_only=True,
             ))
 
-        def eval_branches(xb, tb, cam_b, text_b, conds_b, pre_b, nb):
-            """One CN(s)+UNet evaluation on a (nb, N, ...) batch."""
+        def run_cns(xb, tb, cam_b, text_b, conds_b, pre_b):
+            """Merged ControlNet residuals on a (nb, N, ...) batch."""
             downs = mid = kv = None
             for i, cn in enumerate(controlnets):
                 d, m, k = cn.apply(
@@ -191,6 +191,10 @@ class BEVControlNetPipeline:
                 else:
                     downs = [a + b for a, b in zip(downs, d)]
                     mid = mid + m
+            return list(downs), mid, kv
+
+        def run_unet(xb, tb, residuals, nb):
+            downs, mid, kv = residuals
             return unet.apply(
                 {"params": params["unet"]},
                 xb.reshape(nb * N, lh, lw, 4),
@@ -198,6 +202,11 @@ class BEVControlNetPipeline:
                 down_block_additional_residuals=downs,
                 mid_block_additional_residual=mid, n_cam=N,
             ).astype(jnp.float32).reshape(nb, N, lh, lw, 4)
+
+        def eval_branches(xb, tb, cam_b, text_b, conds_b, pre_b, nb):
+            """One CN(s)+UNet evaluation on a (nb, N, ...) batch."""
+            return run_unet(
+                xb, tb, run_cns(xb, tb, cam_b, text_b, conds_b, pre_b), nb)
 
         # sequential CFG (pipeline_param.sequential_cfg): evaluate the
         # uncond and cond halves one after the other via lax.map — halves
@@ -227,29 +236,63 @@ class BEVControlNetPipeline:
                 eps = eps.reshape(2, B, N, lh, lw, 4)
                 return eps[0] + guidance_scale * (eps[1] - eps[0])
 
+        # Faster-Diffusion-style CN caching (pipeline_param.cn_cache_interval
+        # = k > 0, OPT-IN quality tradeoff): the ControlNet branch residuals
+        # are re-evaluated only every k-th denoise step and reused in
+        # between — the conditioning encoder changes slowly across adjacent
+        # timesteps, while the UNet still runs every step.
+        cn_cache_k = int(self.cfg.runner.pipeline_param.get(
+            "cn_cache_interval", 0))
+        cached_model_fn = None
+        if cn_cache_k > 1:
+            assert not seq_cfg, "cn_cache_interval requires sequential_cfg=false"
+
+            def _cns(x, t):
+                x2 = jnp.concatenate([x, x])
+                t2 = jnp.full((2 * B,), t, jnp.int32)
+                return run_cns(x2, t2, cam2, text2, conds2, pre)
+
+            cache0 = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype),
+                jax.eval_shape(_cns, lat0, jnp.int32(0)))
+
+            def cached_model_fn(x, t, i, state):
+                state = jax.lax.cond(
+                    i % cn_cache_k == 0,
+                    lambda _: _cns(x, t), lambda s: s, state)
+                x2 = jnp.concatenate([x, x])
+                t2 = jnp.full((2 * B,), t, jnp.int32)
+                eps = run_unet(x2, t2, state, 2 * B)
+                eps = eps.reshape(2, B, N, lh, lw, 4)
+                return eps[0] + guidance_scale * (eps[1] - eps[0]), state
+
+        base_fn = cached_model_fn if cached_model_fn is not None else model_fn
         if conditional_latents is not None and conditional_mask is not None:
             # pin given views to noised GT latents at every step (GivenView)
             gt = conditional_latents  # (B, N, lh, lw, 4), VAE-encoded
             mask = conditional_mask.reshape(B, N, 1, 1, 1).astype(jnp.float32)
 
-            def pinned_model_fn(x, t):
+            def pinned_model_fn(x, t, *state_args):
                 noise = jax.random.normal(
                     jax.random.fold_in(r_cl, t), gt.shape, jnp.float32)
                 gt_t = self.schedule.add_noise(
                     gt, noise, jnp.full((B,), t, jnp.int32))
                 x = x * (1 - mask) + gt_t * mask
-                return model_fn(x, t)
+                return base_fn(x, t, *state_args)
 
             fn = pinned_model_fn
         else:
-            fn = model_fn
+            fn = base_fn
 
+        state0 = cache0 if cached_model_fn is not None else None
         if scheduler == "ddim":
             lat = ddim_sample(self.schedule, fn, lat0,
-                              num_inference_steps=num_inference_steps)
+                              num_inference_steps=num_inference_steps,
+                              model_state0=state0)
         else:
             lat = unipc_sample(self.schedule, fn, lat0,
-                               num_inference_steps=num_inference_steps)
+                               num_inference_steps=num_inference_steps,
+                               model_state0=state0)
 
         flat = lat.reshape(B * N, lh, lw, 4)
         # VAE slicing (reference enable_vae_slicing, val_set_gen.py:120):

@@ -107,6 +107,36 @@ def test_pipeline_generate_and_given_view(vanilla, ds):
     assert np.abs(np.asarray(imgs2) - arr).max() > 1e-6
 
 
+def test_cn_cache_interval(vanilla, ds):
+    """Faster-Diffusion-style CN caching: interval=1 is bitwise the
+    baseline (fresh residuals every step); interval=5 runs the cached path
+    and still produces finite images in range."""
+    import copy
+
+    # fresh CNs emit zero residuals (zero-conv init) — train a step so the
+    # cached-vs-fresh distinction is observable
+    if int(vanilla.state["step"]) == 0:
+        vanilla.run(max_steps=1)
+    batch = collate_fn([ds[0]], vanilla.cfg, vanilla.tokenizer,
+                       is_train=False, rng=np.random.default_rng(0))
+    ref = np.asarray(_pipe(vanilla)(batch, jax.random.PRNGKey(0)))
+
+    cfg1 = copy.deepcopy(vanilla.cfg)
+    cfg1.runner.pipeline_param.cn_cache_interval = 5
+    from dualdiff_tpu.pipeline.bev_controlnet import BEVControlNetPipeline
+
+    params = merge_params(jax.device_get(vanilla.state["params"]),
+                          jax.device_get(vanilla.frozen))
+    cached = np.asarray(BEVControlNetPipeline(
+        cfg1, vanilla.models, params, vanilla.schedule)(
+            batch, jax.random.PRNGKey(0)))
+    assert cached.shape == ref.shape
+    assert np.isfinite(cached).all()
+    assert 0.0 <= cached.min() and cached.max() <= 1.0
+    # the approximation actually kicks in (outputs differ from baseline)
+    assert np.abs(cached - ref).max() > 1e-6
+
+
 def test_overfit_single_sample(tmp_path_factory):
     """Gradients flow end-to-end: loss drops markedly when overfitting a
     single sample with a fixed timestep range."""
