@@ -1,3 +1,5 @@
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -300,3 +302,36 @@ def test_i3d_importer_and_forward():
     import pytest as _pytest
     with _pytest.raises(AssertionError):
         import_i3d(bad)
+
+
+def test_fvd_score_cli_end_to_end(tmp_path):
+    """tools/fvd_score.py over npz clip trees (fallback features): similar
+    distributions score lower than dissimilar ones, output finite."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "fvd_score", os.path.join(os.path.dirname(__file__), "..",
+                                  "tools", "fvd_score.py"))
+    fvd_score = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(fvd_score)
+
+    rng = np.random.default_rng(0)
+
+    def write(root, shift, n=3):
+        os.makedirs(root)
+        for i in range(n):
+            frames = (rng.random((4, 16, 16, 3)) * 0.5 + shift).clip(0, 1)
+            np.savez(os.path.join(root, f"c{i}.npz"),
+                     frames=(frames * 255).astype(np.uint8))
+
+    write(str(tmp_path / "real"), 0.2)
+    write(str(tmp_path / "near"), 0.22)
+    write(str(tmp_path / "far"), 0.7)
+
+    args = ["--frames", "4", "--size", "32", "--i3d", "/nonexistent"]
+    d_near = fvd_score.main(["--real", str(tmp_path / "real"),
+                             "--gen", str(tmp_path / "near"), *args])
+    d_far = fvd_score.main(["--real", str(tmp_path / "real"),
+                            "--gen", str(tmp_path / "far"), *args])
+    assert np.isfinite(d_near) and np.isfinite(d_far)
+    assert d_near < d_far
