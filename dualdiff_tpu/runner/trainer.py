@@ -104,6 +104,14 @@ def make_loss_fn(models, cfg, schedule: DiffusionSchedule,
         p_vae = {"params": params["vae"]}
         p_text = {"params": params["text_encoder"]}
 
+        def vae_decode(flat):
+            # NOTE: chunking this decode (lax.map) does NOT reduce the
+            # training HBM peak — plain map under grad saves every chunk's
+            # decoder activations (measured 92G for 4-frame clips), and
+            # remat-chunked still measured 19.3G vs 16.1G unchunked.
+            # Clips >2 frames need the multi-chip mesh (see RESULTS.md).
+            return vae.apply(p_vae, flat, method=vae.decode)
+
         px = batch["pixel_values"]  # (B, N, H, W, 3)
         B, N = px.shape[:2]
         r_vae, r_noise, r_t, r_drop, r_off = jax.random.split(rng, 5)
@@ -177,9 +185,7 @@ def make_loss_fn(models, cfg, schedule: DiffusionSchedule,
             metrics["aug_loss"] = aug
         if use_tone:
             x0_pred = schedule.pred_x0_from_eps(noisy, eps, timesteps)
-            img_pred = vae.apply(
-                p_vae, x0_pred.reshape(B * N, *x0_pred.shape[2:]),
-                method=vae.decode)
+            img_pred = vae_decode(x0_pred.reshape(B * N, *x0_pred.shape[2:]))
             tone = jnp.mean(
                 (mscn_luminance(img_pred)
                  - mscn_luminance(px.reshape(B * N, *px.shape[2:]))) ** 2)
@@ -189,9 +195,7 @@ def make_loss_fn(models, cfg, schedule: DiffusionSchedule,
             # RGD: reward on the denoised prediction (arXiv 2505.01857);
             # maximize reward => subtract
             x0_pred = schedule.pred_x0_from_eps(noisy, eps, timesteps)
-            img_pred = vae.apply(
-                p_vae, x0_pred.reshape(B * N, *x0_pred.shape[2:]),
-                method=vae.decode)
+            img_pred = vae_decode(x0_pred.reshape(B * N, *x0_pred.shape[2:]))
             reward = jnp.mean(reward_fn(img_pred, px.reshape(
                 B * N, *px.shape[2:]), batch))
             loss = loss - reward_weight * reward

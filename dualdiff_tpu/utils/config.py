@@ -247,21 +247,31 @@ def load_config(
     """
     cfg = _compose_file(config_dir, name)
 
+    # hydra ordering regardless of CLI order: group re-selections
+    # (``runner=debug`` — part of the defaults list) apply FIRST, then
+    # ``+exp=`` overlays (which may patch inside groups), then dotted sets.
+    # Applying a group replacement after an exp overlay would silently drop
+    # the overlay's patches to that group (e.g. rgd_stage2's
+    # ``runner.decode_chunk``).
+    groups, overlays, dotted = [], [], []
     for ov in overrides or []:
         if "=" not in ov:
             raise ValueError(f"Bad override (need key=value): {ov}")
         key, value = ov.split("=", 1)
         if key.startswith("+"):
-            group = key[1:]
-            overlay = _compose_file(config_dir, os.path.join(group, value))
-            merge(cfg, overlay)
-        elif "." not in key and isinstance(cfg.get(key), ConfigNode) and os.path.isdir(
-            os.path.join(config_dir, key)
-        ):
-            sub = _compose_file(config_dir, os.path.join(key, value))
-            cfg[key] = sub
+            overlays.append((key[1:], value))
+        elif "." not in key and isinstance(cfg.get(key), ConfigNode) and \
+                os.path.isdir(os.path.join(config_dir, key)):
+            groups.append((key, value))
         else:
-            cfg.set_path(key, _parse_override_value(value))
+            dotted.append((key, value))
+
+    for key, value in groups:
+        cfg[key] = _compose_file(config_dir, os.path.join(key, value))
+    for group, value in overlays:
+        merge(cfg, _compose_file(config_dir, os.path.join(group, value)))
+    for key, value in dotted:
+        cfg.set_path(key, _parse_override_value(value))
 
     if resolve:
         _resolve_tree(cfg, cfg, [])

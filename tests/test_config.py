@@ -69,3 +69,14 @@ def test_missing_interp_raises():
 
     with pytest.raises(KeyError):
         _resolve_tree(cfg, cfg, [])
+
+
+def test_group_selection_does_not_clobber_exp_patches():
+    """Hydra ordering: ``runner=debug`` (a defaults-group re-selection)
+    applies BEFORE ``+exp=`` overlays regardless of CLI order, so an exp's
+    patches inside that group (rgd_stage2's runner.decode_chunk) survive."""
+    for order in (["+exp=rgd_stage2", "runner=debug"],
+                  ["runner=debug", "+exp=rgd_stage2"]):
+        cfg = load_config(CONFIG_DIR, overrides=order)
+        assert int(cfg.runner.decode_chunk) == 6, order
+        assert int(cfg.runner.max_train_steps) == 2, order  # debug still on
