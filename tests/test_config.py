@@ -72,11 +72,14 @@ def test_missing_interp_raises():
 
 
 def test_group_selection_does_not_clobber_exp_patches():
-    """Hydra ordering: ``runner=debug`` (a defaults-group re-selection)
+    """Hydra ordering: a group re-selection (part of the defaults list)
     applies BEFORE ``+exp=`` overlays regardless of CLI order, so an exp's
-    patches inside that group (rgd_stage2's runner.decode_chunk) survive."""
-    for order in (["+exp=rgd_stage2", "runner=debug"],
-                  ["runner=debug", "+exp=rgd_stage2"]):
+    patches inside that group (video_16f's runner.train_batch_size=1)
+    survive a ``runner=default`` on the CLI."""
+    for order in (["+exp=video_16f", "runner=default"],
+                  ["runner=default", "+exp=video_16f"]):
         cfg = load_config(CONFIG_DIR, overrides=order)
-        assert int(cfg.runner.decode_chunk) == 6, order
-        assert int(cfg.runner.max_train_steps) == 2, order  # debug still on
+        assert int(cfg.runner.train_batch_size) == 1, order  # exp patch wins
+        # the re-selected group is otherwise in effect (default, not debug:
+        # default leaves max_train_steps null and runs by epochs)
+        assert cfg.runner.max_train_steps is None, order
