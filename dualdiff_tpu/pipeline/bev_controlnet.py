@@ -48,6 +48,15 @@ class BEVControlNetPipeline:
         # ORS intrinsics frame (reference occ3d_proj.py:144 pins 896x1600)
         self.image_hw = tuple(cfg.model.get("ors_frame_hw", (896, 1600)))
         pp = cfg.runner.pipeline_param
+        if int(pp.get("cn_cache_interval", 0)) > 1 and bool(
+                pp.get("sequential_cfg", False)):
+            # config validation up front: an assert inside the jitted
+            # generate vanishes under python -O and would silently drop
+            # the sequential-CFG memory benefit (ADVICE r2)
+            raise ValueError(
+                "pipeline_param.cn_cache_interval>1 requires "
+                "sequential_cfg=false (the cached CN residuals are computed "
+                "on the full CFG batch)")
         self._generate = jax.jit(functools.partial(
             self._generate_impl,
             num_inference_steps=int(pp.num_inference_steps),
@@ -73,12 +82,21 @@ class BEVControlNetPipeline:
                 else x, params)
         self.params = params
 
+    def release_params(self) -> None:
+        """Drop the pipeline's (possibly cast-copied) param tree so its HBM
+        is reclaimable between validate() calls; the compiled executable
+        survives — call ``set_params`` before the next generation."""
+        self.params = None
+
     # ------------------------------------------------------------------
     def __call__(self, batch: Dict, rng: jax.Array,
                  conditional_latents: Optional[jnp.ndarray] = None,
                  conditional_mask: Optional[jnp.ndarray] = None,
                  **overrides) -> jnp.ndarray:
         """batch: collate output.  -> images (B, N_cam, H, W, 3) in [0, 1]."""
+        if self.params is None:
+            raise RuntimeError(
+                "pipeline params were released; call set_params() first")
         tensors = prepare_batch(batch) if "branches" in batch else batch
         if overrides:
             gen = jax.jit(functools.partial(
@@ -244,8 +262,7 @@ class BEVControlNetPipeline:
         cn_cache_k = int(self.cfg.runner.pipeline_param.get(
             "cn_cache_interval", 0))
         cached_model_fn = None
-        if cn_cache_k > 1:
-            assert not seq_cfg, "cn_cache_interval requires sequential_cfg=false"
+        if cn_cache_k > 1 and not seq_cfg:
 
             def _cns(x, t):
                 x2 = jnp.concatenate([x, x])

@@ -439,6 +439,7 @@ class MultiviewTrainer:
         last = {}
         step = int(self.state["step"])
         timer = StepTimer()
+        flops_probed = False
         while step < limit:
             for batch in self._device_batches(
                     step // max(self.steps_per_epoch, 1)):
@@ -448,9 +449,12 @@ class MultiviewTrainer:
                 last = {k: float(v) for k, v in metrics.items()}
                 # float() above fetched a value => true device sync; tick now
                 timer.tick()
-                if timer.flops is None:
+                if timer.flops is None and not flops_probed:
                     # after the 1st call lower+compile is a jit-cache hit —
-                    # XLA's own FLOP count for the compiled step (audit: MFU)
+                    # XLA's own FLOP count for the compiled step (audit: MFU).
+                    # Probe at most once: backends without cost_analysis
+                    # would otherwise re-lower + log every step (ADVICE r2)
+                    flops_probed = True
                     timer.flops = jit_flops(self.train_step, self.state,
                                             self.frozen, batch, self.rng)
                 stats = timer.stats()

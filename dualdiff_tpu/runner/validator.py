@@ -83,5 +83,10 @@ class Validator:
                 gt = (sample["img"] * 0.5 + 0.5).clip(0, 1)
                 writer.add_image(f"val/{idx}_gt", concat_6_views(gt), step,
                                  dataformats="HWC")
+        # release the bf16 param copy (the cast duplicates fp32 trainable
+        # leaves — a GB+ at full scale) so interleaved training keeps its
+        # HBM headroom; the compiled generate is kept and rebinds params on
+        # the next set_params (ADVICE r2)
+        pipe.release_params()
         log.info("validation at step %d: %d grids", step, len(outs))
         return outs

@@ -54,9 +54,11 @@ def device_peak_flops(device=None) -> Optional[float]:
     """Per-chip peak bf16 FLOP/s for the local accelerator (None on CPU)."""
     device = device or jax.devices()[0]
     kind = getattr(device, "device_kind", "")
-    for name, peak in _PEAK_BF16.items():
+    # longest prefix first: 'TPU v5 lite' must win over 'TPU v5' regardless
+    # of dict insertion order (ADVICE r2)
+    for name in sorted(_PEAK_BF16, key=len, reverse=True):
         if kind.startswith(name):
-            return peak
+            return _PEAK_BF16[name]
     return None
 
 
