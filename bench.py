@@ -20,7 +20,6 @@ import os
 import time
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 A100_BASELINE_FPS = 0.5  # estimated; see module docstring
@@ -31,154 +30,74 @@ GUIDANCE = 2.0
 # v5e (r2 sweep: B=1 0.741, B=2 0.749+, B=4 0.692 — HBM pressure); the
 # reported metric stays per-chip frames/s with batch recorded in detail
 B = int(os.environ.get("BENCH_BATCH", "2"))
-N, LH, LW = 6, 28, 50
-MAX_LEN = 80
+MAX_BOXES = int(os.environ.get("BENCH_MAX_BOXES", "80"))
 
 
 def main():
     from dualdiff_tpu import enable_compilation_cache
 
     enable_compilation_cache()
-    from dualdiff_tpu.utils.config import load_config
-    from dualdiff_tpu.runner.factory import build_models
+    from dualdiff_tpu.data.collate import collate_fn
+    from dualdiff_tpu.data.tokenizer import build_tokenizer
+    from dualdiff_tpu.data.wrappers import build_dataset
     from dualdiff_tpu.diffusion.schedule import DiffusionSchedule
-    from dualdiff_tpu.diffusion.samplers import unipc_sample
+    from dualdiff_tpu.pipeline.bev_controlnet import BEVControlNetPipeline
+    from dualdiff_tpu.runner.factory import build_models
+    from dualdiff_tpu.runner.trainer import init_full_params, prepare_batch
+    from dualdiff_tpu.utils.config import load_config
 
-    cfg = load_config("configs", overrides=["+exp=dual_branch_augloss_fusion"])
-    models = build_models(cfg, tiny=False)
-    unet, cns, vae = models["unet"], models["controlnets"], models["vae"]
-    schedule = DiffusionSchedule.create()
-    key = jax.random.PRNGKey(0)
-
-    sample = jnp.zeros((B, N, LH, LW, 4))
-    t = jnp.full((B,), 500, jnp.int32)
-    cam = jnp.ones((B, N, 3, 7))
-    text2 = jax.random.normal(key, (2 * B, 77, 768)) * 0.02
-    cond0 = jnp.zeros((B, 224, 400 * N, 3))
-    cond1 = jnp.zeros((B, N, LH, LW, 320))
-    boxes0 = {"bboxes": jnp.zeros((B, N, MAX_LEN, 8, 3)),
-              "classes": jnp.zeros((B, N, MAX_LEN), jnp.int32),
-              "masks": jnp.ones((B, N, MAX_LEN))}
-    boxes1 = {"bboxes": jnp.zeros((B, 1, MAX_LEN, 40, 3)),
-              "classes": jnp.zeros((B, 1, MAX_LEN), jnp.int32),
-              "masks": jnp.ones((B, 1, MAX_LEN))}
-
-    print("# initializing params (jit on device)...", flush=True)
-    params = {
-        "controlnet_0": jax.jit(cns[0].init)(
-            key, sample, t, cam, text2[:B], cond0, bboxes_3d=boxes0)["params"],
-        "controlnet_1": jax.jit(cns[1].init)(
-            key, sample, t, cam, text2[:B], cond1, bboxes_3d=boxes1)["params"],
-    }
-    kv = jnp.zeros((B * N, 1 + 77 + MAX_LEN, 768))
-    params["unet"] = jax.jit(lambda k: unet.init(
-        k, sample.reshape(B * N, LH, LW, 4), jnp.zeros((B * N,), jnp.int32),
-        kv, n_cam=N))(key)["params"]
-    params["vae_dec"] = jax.jit(lambda k: vae.init(
-        k, jax.random.normal(k, (1, 224, 400, 3)), k))(key)["params"]
-    # inference weights in bf16: halves the per-step HBM weight streaming
-    params = jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.bfloat16)
-        if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
-
-    cam2 = jnp.concatenate([cam, cam])
-    conds2 = (jnp.concatenate([cond0] * 2), jnp.concatenate([cond1] * 2))
-    boxes2 = []
-    for bx in (boxes0, boxes1):
-        boxes2.append({
-            "bboxes": jnp.concatenate([bx["bboxes"]] * 2),
-            "classes": jnp.concatenate([bx["classes"]] * 2),
-            "masks": jnp.concatenate(
-                [jnp.zeros_like(bx["masks"]), bx["masks"]]),
-        })
-
-    def precompute(params):
-        dummy = jnp.zeros((2 * B, N, LH, LW, 4))
-        return [cn.apply({"params": params[f"controlnet_{i}"]},
-                         dummy, jnp.zeros((2 * B,), jnp.int32), cam2, text2,
-                         conds2[i], bboxes_3d=boxes2[i], precompute_only=True)
-                for i, cn in enumerate(cns)]
-
-    def run_cns(params, pre, x2, t2):
-        downs = mid = kvv = None
-        for i, cn in enumerate(cns):
-            d, m, k = cn.apply({"params": params[f"controlnet_{i}"]},
-                               x2, t2, cam2, text2, conds2[i],
-                               precomputed=pre[i])
-            if downs is None:
-                downs, mid, kvv = d, m, k
-            else:
-                downs = [a + b for a, b in zip(downs, d)]
-                mid = mid + m
-        return list(downs), mid, kvv
-
-    def run_unet(params, x2, t2, residuals):
-        downs, mid, kvv = residuals
-        eps = unet.apply({"params": params["unet"]},
-                         x2.reshape(2 * B * N, LH, LW, 4),
-                         jnp.repeat(t2, N), kvv,
-                         down_block_additional_residuals=downs,
-                         mid_block_additional_residual=mid, n_cam=N)
-        eps = eps.astype(jnp.float32).reshape(2, B, N, LH, LW, 4)
-        return eps[0] + GUIDANCE * (eps[1] - eps[0])
-
-    def model_fn(params, pre, x, tt):
-        x2 = jnp.concatenate([x, x])
-        t2 = jnp.full((2 * B,), tt, jnp.int32)
-        return run_unet(params, x2, t2, run_cns(params, pre, x2, t2))
-
+    # the bench drives the SHIPPED pipeline class (VERDICT r2 weak #3: the
+    # recorded number must describe the product code path, not an inline
+    # twin); inputs stay synthetic (schema-correct samples, no nuScenes)
+    overrides = [
+        "+exp=dual_branch_augloss_fusion",
+        "dataset=Nuscenes_synthetic",
+        f"dataset.num_samples={max(B, 2)}",
+        f"runner.pipeline_param.num_inference_steps={STEPS}",
+        f"runner.pipeline_param.guidance_scale={GUIDANCE}",
+        # static box-token cap: the recorded operating point (r1/r2 bench
+        # MAX_LEN=80; UNet KV = 1+77+80).  The shipped default is 160
+        # (worst-case real nuScenes scenes); the cap is a throughput knob —
+        # recorded in detail below
+        f"runner.pipeline_param.bbox_max_length={MAX_BOXES}",
+    ]
     # BENCH_CN_CACHE=k (>1): Faster-Diffusion-style CN residual caching —
     # secondary probe, NOT the parity headline (quality tradeoff)
-    CN_CACHE = int(os.environ.get("BENCH_CN_CACHE", "0"))
+    cn_cache = int(os.environ.get("BENCH_CN_CACHE", "0"))
+    if cn_cache > 1:
+        overrides.append(f"runner.pipeline_param.cn_cache_interval={cn_cache}")
+    cfg = load_config("configs", overrides=overrides)
+    h, w = cfg.dataset.image_size
 
-    @jax.jit
-    def generate(params, rng):
-        lat0 = jax.random.normal(rng, (B, 1, LH, LW, 4))
-        lat0 = jnp.broadcast_to(lat0, (B, N, LH, LW, 4))
-        pre = precompute(params)  # step-constant conditioning, outside scan
-        if CN_CACHE > 1:
-            def cns_at(x, tt):
-                x2 = jnp.concatenate([x, x])
-                t2 = jnp.full((2 * B,), tt, jnp.int32)
-                return run_cns(params, pre, x2, t2)
+    models = build_models(cfg, tiny=False)
+    tokenizer = build_tokenizer(str(cfg.model.pretrained_model_name_or_path))
+    ds = build_dataset(cfg, "train")
+    batch = collate_fn([ds[i] for i in range(B)], cfg, tokenizer,
+                       is_train=False, rng=np.random.default_rng(0))
+    # device-resident inputs, once: re-uploading ~28MB of host batch through
+    # the axon tunnel every call would dominate the measurement
+    tensors = jax.device_put(prepare_batch(batch))
 
-            cache0 = jax.tree_util.tree_map(
-                lambda s: jnp.zeros(s.shape, s.dtype),
-                jax.eval_shape(cns_at, lat0, jnp.int32(0)))
-
-            def cached_fn(x, tt, i, state):
-                state = jax.lax.cond(i % CN_CACHE == 0,
-                                     lambda _: cns_at(x, tt),
-                                     lambda s: s, state)
-                x2 = jnp.concatenate([x, x])
-                t2 = jnp.full((2 * B,), tt, jnp.int32)
-                return run_unet(params, x2, t2, state), state
-
-            lat = unipc_sample(schedule, cached_fn, lat0,
-                               num_inference_steps=STEPS,
-                               model_state0=cache0)
-            img = vae.apply({"params": params["vae_dec"]},
-                            lat.reshape(B * N, LH, LW, 4), method=vae.decode)
-            return (img.astype(jnp.float32) / 2 + 0.5).clip(0, 1)
-        lat = unipc_sample(schedule,
-                           lambda x, tt: model_fn(params, pre, x, tt),
-                           lat0, num_inference_steps=STEPS)
-        img = vae.apply({"params": params["vae_dec"]},
-                        lat.reshape(B * N, LH, LW, 4), method=vae.decode)
-        return (img.astype(jnp.float32) / 2 + 0.5).clip(0, 1)
+    print("# initializing params (jit on device)...", flush=True)
+    params = init_full_params(
+        cfg, models, tensors, (h // 8, w // 8),
+        tuple(cfg.model.get("ors_frame_hw", (896, 1600))), tokenizer)
+    pipe = BEVControlNetPipeline(cfg, models, params,
+                                 DiffusionSchedule.create())
+    del params  # the pipeline holds its own bf16 cast; free fp32 originals
 
     print("# compiling full generation graph...", flush=True)
     t0 = time.time()
-    out = generate(params, jax.random.PRNGKey(1))
-    _ = float(out[0, 0, 0, 0])  # value fetch = true device sync (tunnel-safe)
+    out = pipe(tensors, jax.random.PRNGKey(1))
+    _ = float(out[0, 0, 0, 0, 0])  # value fetch = true device sync (tunnel)
     compile_s = time.time() - t0
     print(f"# compile+first-run {compile_s:.1f}s", flush=True)
 
     iters = 5
     t0 = time.time()
     for i in range(iters):
-        out = generate(params, jax.random.PRNGKey(2 + i))
-        _ = float(out[0, 0, 0, 0])
+        out = pipe(tensors, jax.random.PRNGKey(2 + i))
+        _ = float(out[0, 0, 0, 0, 0])
     dt = (time.time() - t0) / iters
     fps = B / dt  # six-view frame-sets per second per chip
 
@@ -186,7 +105,8 @@ def main():
     # cache hit after the call above) over the v5e bf16 peak
     from dualdiff_tpu.utils.flops import device_peak_flops, jit_flops
 
-    gen_flops = jit_flops(generate, params, jax.random.PRNGKey(2))
+    gen_flops = jit_flops(pipe._generate, pipe.params, tensors,
+                          jax.random.PRNGKey(2), None, None)
     peak = device_peak_flops()
     mfu = (gen_flops / dt / peak) if (gen_flops and peak) else None
 
@@ -199,6 +119,7 @@ def main():
             "sec_per_frame": round(dt, 4),
             "compile_s": round(compile_s, 1),
             "batch": B,
+            "bbox_max_length": MAX_BOXES,
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
             "baseline_assumption_fps": A100_BASELINE_FPS,
