@@ -96,6 +96,16 @@ class NuScenesDataset:
     def __len__(self) -> int:
         return len(self.infos)
 
+    def sample_meta(self):
+        """[(token, scene)] straight from the infos — no image IO (scene-
+        ratio sub-sampling protocol, ``data/scenes.py``).  Older infos
+        without the ``scene`` field fall back to grouping by log location
+        (coarser than true scenes, but deterministic and devkit-free)."""
+        return [(info["token"],
+                 str(info.get("scene") or info.get("scene_token")
+                     or info.get("location", "scene-unknown")))
+                for info in self.infos]
+
     # ------------------------------------------------------------------
     def _load_image(self, path: str) -> np.ndarray:
         from PIL import Image

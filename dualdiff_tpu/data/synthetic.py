@@ -72,6 +72,12 @@ class SyntheticNuScenes:
     def __len__(self) -> int:
         return self.num_samples
 
+    def sample_meta(self):
+        """[(token, scene)] without building samples (scene-ratio protocol,
+        ``data/scenes.py``)."""
+        return [(f"synthetic-{self.seed}-{i:06d}", f"scene-{i // 8:04d}")
+                for i in range(self.num_samples)]
+
     def __getitem__(self, idx: int) -> Dict:
         rng = np.random.default_rng(self.seed * 100003 + idx)
         h, w = self.image_size
@@ -101,10 +107,12 @@ class SyntheticNuScenes:
         masks_bev = (rng.random((18, 200, 200)) > 0.9).astype(np.uint8)
 
         token = f"synthetic-{self.seed}-{idx:06d}"
+        scene = f"scene-{idx // 8:04d}"  # 8-frame synthetic scenes
         cams = ["CAM_FRONT_LEFT", "CAM_FRONT", "CAM_FRONT_RIGHT",
                 "CAM_BACK_RIGHT", "CAM_BACK", "CAM_BACK_LEFT"][:n_cam]
         sample = {
             "token": token,
+            "scene": scene,
             "filenames": [f"samples/{c}/{token}_{c}.jpg" for c in cams],
             "location": LOCATIONS[idx % len(LOCATIONS)],
             "description": DESCRIPTIONS[idx % len(DESCRIPTIONS)],

@@ -24,6 +24,10 @@ class ListSetWrapper:
     def __getitem__(self, i):
         return self.dataset[self.indices[i]]
 
+    def sample_meta(self):
+        inner = self.dataset.sample_meta()
+        return [inner[i] for i in self.indices]
+
 
 class FolderSetWrapper:
     """Demo samples stored one-pickle-per-item (reference :21-56)."""

@@ -106,6 +106,7 @@ def create_nuscenes_infos(dataroot: str, version: str, out_dir: str):
             vis.append(int(ann["visibility_token"]))
         info = {
             "token": sample["token"],
+            "scene": name,  # scene-ratio sub-sampling (data/scenes.py)
             "timestamp": sample["timestamp"],
             "location": scene_log[scene_t]["location"],
             "description": scene_desc[scene_t],

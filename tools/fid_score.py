@@ -121,17 +121,23 @@ def activations_for_paths(paths, extract, size, batch=16, transform=None):
 
 
 def pair_real_generated(val, view_order, dataset_root, rootb,
-                        require_all=False):
+                        require_all=False, token_flags=None):
     """Token x sensor pairing (reference fid_score.py:297-340): for every
     val sample and camera, the real file is the dataset image and the
     generated twin is looked up under ``rootb`` by token naming
     (``<CAM>/<token>_<CAM>.png``, tools/val_set_gen.py default) or by the
     original nuScenes filename (``gen_naming=original``).  Returns
-    (real_paths, gen_paths) of equal length."""
+    (real_paths, gen_paths) of equal length.
+
+    ``token_flags`` (Dict[token, bool] from ``sample_tokens_by_scene``)
+    restricts the pairing to the picked tokens — the reference's
+    ``fid.ratio`` scene sub-sampling protocol (fid_score.py:474)."""
     reals, gens = [], []
     missing = 0
     for i in range(len(val)):
         s = val[i]
+        if token_flags is not None and not token_flags.get(s["token"], False):
+            continue
         for cam, fname in zip(view_order, s["filenames"]):
             cands = [
                 os.path.join(rootb, cam, f"{s['token']}_{cam}.png"),
@@ -182,9 +188,16 @@ def main(argv=None):
     assert rootb, "config mode needs fid.rootb=<generated samples dir>"
     rootb = str(rootb)
     val = build_dataset(cfg, "val", load_images=False, load_bev=False)
+    # scene-ratio token sub-sampling (reference fid.ratio protocol):
+    # -1 = all, 0 = first frame/scene, <1 = ratio/scene, >=1 = count/scene
+    from dualdiff_tpu.data.scenes import sample_tokens_by_scene
+
+    flags = sample_tokens_by_scene(
+        val, float(fid_cfg.get("ratio", -1)), int(cfg.seed))
     reals, gens = pair_real_generated(
         val, list(cfg.dataset.view_order), str(cfg.dataset.dataset_root),
-        rootb, require_all=bool(fid_cfg.get("require_all", False)))
+        rootb, require_all=bool(fid_cfg.get("require_all", False)),
+        token_flags=flags)
     assert reals, f"no real/generated pairs found under {rootb}"
 
     # the SAME train-matching transform goes on both sides (reference

@@ -68,8 +68,17 @@ def main(argv=None):
     # naming: token-based (FID pairing) or the original nuScenes filenames
     # (downstream BEVFusion/CVT eval trees, reference downstream_v3)
     naming = str(cfg.get("gen_naming", "token"))
+    # scene-ratio token sub-sampling (reference fid.ratio protocol drives
+    # which tokens get GENERATED too, val_set_gen fid cfg): -1 = all
+    from dualdiff_tpu.data.scenes import sample_tokens_by_scene
+
+    flags = sample_tokens_by_scene(
+        val_set, float(cfg.get("fid", {}).get("ratio", -1)), int(cfg.seed))
+    meta = val_set.sample_meta() if flags is not None else None
     done = skipped = 0
     for idx in range(shard, len(val_set), num_shards):
+        if flags is not None and not flags.get(meta[idx][0], False):
+            continue  # token not picked by the scene-ratio protocol
         sample = val_set[idx]
         token = sample["token"]
         if naming == "original" and "filenames" in sample:
