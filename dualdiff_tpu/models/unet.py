@@ -278,6 +278,9 @@ class UNet2DConditionMultiview(nn.Module):
                     dtype=self.dtype, name=f"down_blocks_{i}",
                 )(x, temb)
             res_stack += list(res)
+            # per-block feature capture (tools/explore_unet.py; no-op
+            # unless apply() runs with mutable=["intermediates"])
+            self.sow("intermediates", f"down_block_{i}_out", x)
 
         if down_block_additional_residuals is not None:
             res_stack = [
@@ -290,6 +293,7 @@ class UNet2DConditionMultiview(nn.Module):
             x, temb, encoder_hidden_states)
         if mid_block_additional_residual is not None:
             x = x + mid_block_additional_residual.astype(x.dtype)
+        self.sow("intermediates", "mid_block_out", x)
 
         # up
         rev = list(reversed(chs))  # [1280, 1280, 640, 320]
@@ -311,6 +315,7 @@ class UNet2DConditionMultiview(nn.Module):
                     add_upsample=not is_final, **tx,
                     name=f"up_blocks_{i}",
                 )(x, skips, temb, encoder_hidden_states)
+            self.sow("intermediates", f"up_block_{i}_out", x)
 
         x = nn.GroupNorm(min(32, x.shape[-1]), epsilon=1e-5, dtype=jnp.float32,
                          name="conv_norm_out")(x)
