@@ -129,13 +129,27 @@ def unipc_sample(
     num_inference_steps: int = 20,
     order: int = 2,
     model_state0=None,
+    final_sigma: str = "zero",
 ) -> jnp.ndarray:
     """UniPC-p2 (bh2, data prediction, corrector enabled, lower_order_final).
 
     One model eval per step; corrector reuses the fresh eval to refine the
     previous predictor output before the next prediction.
+
+    ``final_sigma`` selects the last-step boundary:
+      * ``"zero"`` — modern diffusers ``final_sigmas_type='zero'``: the final
+        predictor targets the sigma=0 limit (h -> inf, x_pred = x0 exactly).
+      * ``"default"`` (alias ``"sigma_min"``) — OLD-diffusers UniPC as the
+        reference runs it (``UniPCMultistepScheduler.step`` computes
+        ``prev_timestep = 0`` on the last step): the final predictor steps to
+        train-timestep 0, leaving sigma(0) > 0 of noise direction in the
+        output.  Use this to reproduce reference-exact stepping so sampler
+        deltas are separable during FID parity debugging (PARITY "known
+        gaps"; VERDICT r2 weak #6).
     """
     assert order == 2, "only order-2 UniPC implemented (the reference default)"
+    if final_sigma not in ("zero", "default", "sigma_min"):
+        raise ValueError(f"unknown final_sigma {final_sigma!r}")
     n = num_inference_steps
     ts = unipc_timesteps(n, schedule.num_train_timesteps)
     ac = np.asarray(schedule.alphas_cumprod, np.float64)
@@ -215,11 +229,17 @@ def unipc_sample(
             if pred_hist_on[i] > 0 and i >= 1:
                 rk = (lam(ts[i - 1]) - lam(s0)) / h
                 p["rk_inv"][i] = 1.0 / rk
-        else:
+        elif final_sigma == "zero":
             p["sig_ratio"][i] = 0.0
             p["alpha_t"][i] = 1.0
             p["h_phi_1"][i] = -1.0
             p["B_h"][i] = -1.0
+        else:  # old-diffusers boundary: last predictor steps to timestep 0
+            h, h_phi_1, B_h, _, _ = phi_coeffs(lam(0), lam(s0))
+            p["sig_ratio"][i] = sigma(0) / sigma(s0)
+            p["alpha_t"][i] = alpha(0)
+            p["h_phi_1"][i] = h_phi_1
+            p["B_h"][i] = B_h
 
     f32 = lambda a: jnp.asarray(a, jnp.float32)
     xs = {

@@ -307,9 +307,15 @@ class BEVControlNetPipeline:
                               num_inference_steps=num_inference_steps,
                               model_state0=state0)
         else:
-            lat = unipc_sample(self.schedule, fn, lat0,
-                               num_inference_steps=num_inference_steps,
-                               model_state0=state0)
+            lat = unipc_sample(
+                self.schedule, fn, lat0,
+                num_inference_steps=num_inference_steps,
+                model_state0=state0,
+                # reference-exact old-diffusers stepping is opt-in
+                # (pipeline_param.unipc_final_sigma=default) so sampler
+                # deltas are separable during FID parity debugging
+                final_sigma=str(self.cfg.runner.pipeline_param.get(
+                    "unipc_final_sigma", "zero")))
 
         flat = lat.reshape(B * N, lh, lw, 4)
         # VAE slicing (reference enable_vae_slicing, val_set_gen.py:120):

@@ -96,6 +96,45 @@ def test_unipc_recovers_point_mass(sched, rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(x0_true), atol=0.05)
 
 
+def test_unipc_final_sigma_modes(sched, rng):
+    """final_sigma='default' reproduces OLD-diffusers UniPC stepping (the
+    reference's scheduler): the last predictor steps to train-timestep 0,
+    leaving sigma(0) of noise direction; 'zero' lands on x0 exactly.  With
+    an exact point-mass eps model both trajectories are analytic."""
+    x0_true = jnp.array([[0.5, -1.2, 2.0, 0.0]])
+    model_fn = _exact_eps_model(x0_true, sched)
+    xT = jax.random.normal(rng, x0_true.shape)
+
+    out_zero = unipc_sample(sched, model_fn, xT, num_inference_steps=20,
+                            final_sigma="zero")
+    out_old = unipc_sample(sched, model_fn, xT, num_inference_steps=20,
+                           final_sigma="default")
+    # zero boundary: exact x0 recovery
+    np.testing.assert_allclose(np.asarray(out_zero), np.asarray(x0_true),
+                               atol=1e-4)
+    # old boundary: for the exact model every UniPC sub-step maps
+    # alpha_s x0 + sigma_s e -> alpha_t x0 + sigma_t e, so the trajectory
+    # ends at x(0) = sqrt(ac[0]) x0 + sqrt(1-ac[0]) e with e fixed by the
+    # initial latents at ts[0]
+    ac = np.asarray(sched.alphas_cumprod, np.float64)
+    ts0 = int(unipc_timesteps(20)[0])
+    e = (np.asarray(xT) - np.sqrt(ac[ts0]) * np.asarray(x0_true)) \
+        / np.sqrt(1.0 - ac[ts0])
+    expected_old = np.sqrt(ac[0]) * np.asarray(x0_true) \
+        + np.sqrt(1.0 - ac[0]) * e
+    np.testing.assert_allclose(np.asarray(out_old), expected_old, atol=1e-4)
+    # the two boundaries genuinely differ (residual noise term present)
+    assert np.abs(np.asarray(out_old) - np.asarray(out_zero)).max() > 1e-5
+    # sigma_min is an accepted alias
+    out_alias = unipc_sample(sched, model_fn, xT, num_inference_steps=20,
+                             final_sigma="sigma_min")
+    np.testing.assert_allclose(np.asarray(out_alias), np.asarray(out_old))
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        unipc_sample(sched, model_fn, xT, num_inference_steps=20,
+                     final_sigma="bogus")
+
+
 def test_unipc_beats_ddim_on_ou_process(sched, rng):
     """Gaussian data: x0 ~ N(mu, s^2 I) has analytic eps-predictor; a
     higher-order solver should track the probability-flow ODE better at few
