@@ -66,6 +66,41 @@ def test_dp4_view2_train_step(mesh, trainer):
     assert some_leaf.sharding.is_fully_replicated
 
 
+def test_video_clip_step_sharded_over_frames_and_views(mesh,
+                                                       tmp_path_factory):
+    """Video training on the mesh (VERDICT r2 task 4): a 4-frame clip's
+    frames shard over 'data' and its 6 cameras over 'view' (per-device
+    slice = 1 frame x 3 cams — the memory scaling RESULTS.md says 4+-frame
+    clips NEED), with ST-Attn/temporal attention reaching across the frame
+    shards via XLA-inserted collectives."""
+    from dualdiff_tpu.data.video import SyntheticNuScenesVideo
+    from dualdiff_tpu.runner.video_trainer import VideoTrainer
+
+    cfg = load_config(CONFIG_DIR, overrides=[
+        "+exp=video_16f", "runner=debug", f"dataset.image_size={IMG}",
+        "video.num_frames=4", "runner.train_batch_size=1"])
+    cfg.log_root = str(tmp_path_factory.mktemp("video_mc"))
+    clips = SyntheticNuScenesVideo(num_clips=2, num_frames=4,
+                                   image_size=tuple(IMG))
+    trainer = VideoTrainer(cfg, clips, tiny=True, mesh=mesh)
+    assert trainer.models["unet"].st_attn and trainer.models["unet"].temporal
+
+    # one clip collates to a frame-flattened batch: leading dim = B*F = 4,
+    # sharded over 'data' (one frame per data shard), cams over 'view'
+    batch = next(trainer._batches(epoch=0))
+    sharded = shard_batch(batch, mesh)
+    px = sharded["pixel_values"]
+    assert px.shape[0] == 4  # B=1 clip x F=4 frames
+    assert px.sharding.spec == P("data", "view"), px.sharding.spec
+    dev_shapes = {s.data.shape for s in px.addressable_shards}
+    assert dev_shapes == {(1, 3) + px.shape[2:]}, dev_shapes
+
+    metrics = trainer.run(max_steps=1)
+    assert np.isfinite(metrics["loss"])
+    some_leaf = jax.tree_util.tree_leaves(trainer.state["params"])[0]
+    assert some_leaf.sharding.is_fully_replicated
+
+
 def test_dp_sharded_generation(mesh, trainer):
     """Data-parallel GENERATION: the pipeline's jitted graph partitions over
     the data axis when fed a sharded batch (serving scale-out; the train
