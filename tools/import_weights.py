@@ -71,11 +71,13 @@ def main(argv=None):
              k, jnp.zeros((6, 28, 50, 4)), jnp.zeros((6,), jnp.int32),
              jnp.zeros((6, 158, 768)), n_cam=6))(key)["params"]),
     ]
+    report = {}
     for name, module, importer, init_fn in jobs:
         sub = os.path.join(args.src, name)
         wfile = _find_weights(sub) if os.path.isdir(sub) else None
         if wfile is None:
             print(f"-- {name}: no weights under {sub}; skipping")
+            report[name] = None
             continue
         print(f"-- {name}: importing {wfile}")
         sd = load_torch_file(wfile)
@@ -85,6 +87,9 @@ def main(argv=None):
               f"unexpected={len(unexpected)}")
         if unexpected:
             print("   unexpected keys (first 5):", unexpected[:5])
+        report[name] = {"missing": list(missing),
+                        "unexpected": list(unexpected),
+                        "src_keys": len(sd)}
         ckptr.save(os.path.abspath(os.path.join(args.out, name)), merged,
                    force=True)
 
@@ -98,6 +103,7 @@ def main(argv=None):
                 break
         if wfile is None:
             print(f"-- controlnet_{i}: no weights; skipping")
+            report[f"controlnet_{i}"] = None
             continue
         print(f"-- controlnet_{i}: importing {wfile}")
         sd = load_torch_file(wfile)
@@ -119,10 +125,14 @@ def main(argv=None):
             boxes)["params"]
         merged, missing, unexpected = merge_imported(init, import_controlnet(sd))
         print(f"   loaded; missing={len(missing)}, unexpected={len(unexpected)}")
+        report[f"controlnet_{i}"] = {"missing": list(missing),
+                                     "unexpected": list(unexpected),
+                                     "src_keys": len(sd)}
         ckptr.save(os.path.abspath(os.path.join(args.out, f"controlnet_{i}")),
                    merged, force=True)
     ckptr.wait_until_finished()
     print(f"done -> {args.out}")
+    return report
 
 
 if __name__ == "__main__":
