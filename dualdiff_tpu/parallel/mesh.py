@@ -17,7 +17,33 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["create_mesh", "shard_batch", "replicate", "data_sharding"]
+__all__ = ["create_mesh", "shard_batch", "replicate", "data_sharding",
+           "put_global"]
+
+
+def put_global(tree, sharding):
+    """``device_put`` that is safe in multi-controller (multi-host) runs.
+
+    Single-process: plain ``jax.device_put`` (unchanged TPU path).  With
+    ``jax.process_count() > 1``, ``device_put`` of host data onto a global
+    sharding runs ``multihost_utils.assert_equal`` — a value-equality
+    allgather whose gloo context times out (30s) whenever processes are
+    skewed by a long compile.  Instead build the global array directly from
+    the (identical-on-every-process, deterministic) host data with
+    ``make_array_from_callback``: each process slices out exactly its
+    addressable shards, no collective at all.  This is the standard
+    multi-controller ingestion pattern (scaling-book data loading)."""
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sharding)
+
+    def put(x, s):
+        arr = np.asarray(x)
+        return jax.make_array_from_callback(arr.shape, s,
+                                            lambda idx: arr[idx])
+
+    if isinstance(sharding, jax.sharding.Sharding):
+        return jax.tree_util.tree_map(lambda x: put(x, sharding), tree)
+    return jax.tree_util.tree_map(put, tree, sharding)
 
 
 def create_mesh(
@@ -60,12 +86,12 @@ def shard_batch(batch, mesh: Mesh, n_cam: int = 6):
 
     def put(x):
         if not hasattr(x, "ndim") or x.ndim < 1:
-            return jax.device_put(x, repl)
+            return put_global(x, repl)
         if x.shape[0] % mesh.shape["data"] != 0:
-            return jax.device_put(x, repl)
+            return put_global(x, repl)
         if (x.ndim >= 2 and x.shape[1] == n_cam and n_cam % n_view == 0
                 and n_view > 1):
-            return jax.device_put(x, dvsh)
-        return jax.device_put(x, dsh)
+            return put_global(x, dvsh)
+        return put_global(x, dsh)
 
     return jax.tree_util.tree_map(put, batch)
