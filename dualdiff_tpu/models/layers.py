@@ -57,7 +57,7 @@ class ResnetBlock2D(nn.Module):
         # breaks those chains and measured NET SLOWER end-to-end (r2:
         # 1.417 vs 1.371 s/frame) despite a fast kernel — see RESULTS.md
         g = min(self.groups, in_ch)
-        h = nn.GroupNorm(g, epsilon=self.eps, dtype=jnp.float32,
+        h = nn.GroupNorm(g, epsilon=self.eps, dtype=self.dtype,
                          name="norm1")(x)
         h = nn.silu(h).astype(self.dtype)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
@@ -66,7 +66,7 @@ class ResnetBlock2D(nn.Module):
                      name="time_emb_proj")(nn.silu(temb.astype(self.dtype)))
         h = h + t[:, None, None, :]
         h = nn.GroupNorm(min(self.groups, self.out_channels), epsilon=self.eps,
-                         dtype=jnp.float32, name="norm2")(h)
+                         dtype=self.dtype, name="norm2")(h)
         h = nn.silu(h).astype(self.dtype)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv2")(h)
@@ -221,8 +221,10 @@ class GatedConnector(nn.Module):
         return jnp.tanh(alpha).astype(self.dtype) * x
 
 
-def _ln(name: str):
-    return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=name)
+def _ln(name: str, dtype=jnp.float32):
+    # stats stay f32 inside flax regardless of dtype (force_float32_reductions);
+    # bf16 dtype only moves the normalize/affine pass to half precision
+    return nn.LayerNorm(epsilon=1e-5, dtype=dtype, name=name)
 
 
 class BasicTransformerBlock(nn.Module):
@@ -261,7 +263,7 @@ class BasicTransformerBlock(nn.Module):
     ) -> jnp.ndarray:
         d = self.dim
         # 1. self attention (ST-Attn replaces KV with [first; prev] frames)
-        norm_h = _ln("norm1")(hidden_states).astype(self.dtype)
+        norm_h = _ln("norm1", self.dtype)(hidden_states).astype(self.dtype)
         if self.st_attn and self.num_frames > 1:
             kv = self._st_attn_kv(norm_h)
         else:
@@ -271,7 +273,7 @@ class BasicTransformerBlock(nn.Module):
         hidden_states = hidden_states + attn_out
 
         # 2. text cross attention
-        norm_h = _ln("norm2")(hidden_states).astype(self.dtype)
+        norm_h = _ln("norm2", self.dtype)(hidden_states).astype(self.dtype)
         attn_out = Attention(
             d, self.heads, box_adapter=self.box_adapter,
             num_box_tokens=self.num_box_tokens, lora_rank=self.lora_rank,
@@ -281,7 +283,7 @@ class BasicTransformerBlock(nn.Module):
 
         # 2.5 multiview cross attention (attn4)
         if self.multiview:
-            norm_h = _ln("norm4")(hidden_states).astype(self.dtype)
+            norm_h = _ln("norm4", self.dtype)(hidden_states).astype(self.dtype)
             attn_out = self._multiview_attn(norm_h, self.n_cam)
             if self.zero_module_type == "zero_linear":
                 attn_out = nn.Dense(
@@ -297,7 +299,7 @@ class BasicTransformerBlock(nn.Module):
 
         # 2.75 temporal attention (video): attend over the frame axis
         if self.temporal and self.num_frames > 1:
-            norm_h = _ln("norm_temporal")(hidden_states).astype(self.dtype)
+            norm_h = _ln("norm_temporal", self.dtype)(hidden_states).astype(self.dtype)
             attn_out = self._temporal_attn(norm_h)
             attn_out = nn.Dense(
                 d, kernel_init=nn.initializers.zeros,
@@ -306,7 +308,7 @@ class BasicTransformerBlock(nn.Module):
             hidden_states = hidden_states + attn_out
 
         # 3. feed forward
-        norm_h = _ln("norm3")(hidden_states).astype(self.dtype)
+        norm_h = _ln("norm3", self.dtype)(hidden_states).astype(self.dtype)
         hidden_states = hidden_states + GEGLUFeedForward(
             d, dtype=self.dtype, name="ff")(norm_h)
         return hidden_states
@@ -399,7 +401,7 @@ class Transformer2DModel(nn.Module):
     ) -> jnp.ndarray:
         b, h, w, c = x.shape
         residual = x
-        hs = nn.GroupNorm(min(32, c), epsilon=1e-6, dtype=jnp.float32, name="norm")(x)
+        hs = nn.GroupNorm(min(32, c), epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         hs = hs.astype(self.dtype)
         hs = nn.Conv(self.in_channels, (1, 1), dtype=self.dtype, name="proj_in")(hs)
         hs = hs.reshape(b, h * w, c)
