@@ -81,9 +81,17 @@ def occupancy_ray_sample(
     ixc = jnp.clip(ix, 0, 199)
     iyc = jnp.clip(iy, 0, 199)
     izc = jnp.clip(iz, 0, 15)
-    flat = (ixc * 200 + iyc) * 16 + izc  # (B, N, P, S)
-    vol = occ_labels.reshape(B, -1).astype(jnp.int32)  # (B, 200*200*16)
-    sem = jax.vmap(jnp.take)(vol, flat.reshape(B, -1)).reshape(flat.shape)
+    # row gather + z-select: gathering whole 16-voxel z-columns then
+    # selecting z on the VPU cuts gather descriptors 16x (measured 49.7 vs
+    # 58.2 ms at the B=2 generate shape — TPU gathers are descriptor-bound)
+    flatxy = ixc * 200 + iyc  # (B, N, P, S)
+    planes = occ_labels.reshape(B, 200 * 200, 16).astype(jnp.int8)
+    rows = jax.vmap(lambda p, i: jnp.take(p, i, axis=0))(
+        planes, flatxy.reshape(B, -1))  # (B, NPS, 16)
+    zsel = (jnp.arange(16, dtype=jnp.int32)[None, None, :]
+            == izc.reshape(B, -1)[..., None])
+    sem = jnp.sum(jnp.where(zsel, rows.astype(jnp.int32), 0), axis=-1)
+    sem = sem.reshape(flatxy.shape)
     sem = jnp.where(oob, FREE_CLASS, sem)
     # label 0 ('undefined') inside the volume stays 0 (one-hot channel 0
     # exists in the reference too); out-of-bounds becomes free space (17).
