@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.attention import multi_head_attention
+from ..ops.attention import attention_packed, multi_head_attention
 from ..ops.fourier import timestep_embedding
 
 Dtype = Any
@@ -159,21 +159,20 @@ class Attention(nn.Module):
         q = self._proj("to_q", hidden_states, inner)
         k = self._proj("to_k", kv, inner)
         v = self._proj("to_v", kv, inner)
-        q = heads_split(q)
         if self.is_mutable_collection("intermediates"):
             # introspection path (reference explore pipeline /
             # tools/unet_modify.py:7-57): expose attention probabilities via
             # apply(..., mutable=["intermediates"])
             logits = jnp.einsum(
-                "bqhd,bkhd->bhqk", q, heads_split(k),
+                "bqhd,bkhd->bhqk", heads_split(q), heads_split(k),
                 preferred_element_type=jnp.float32) * (head_dim ** -0.5)
             probs = jax.nn.softmax(logits, axis=-1)
             self.sow("intermediates", "attn_probs", probs)
             out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype),
-                             heads_split(v))
+                             heads_split(v)).reshape(b, lq, inner)
         else:
-            out = multi_head_attention(q, heads_split(k), heads_split(v))
-        out = out.reshape(b, lq, inner)
+            # channel-packed: no head split/merge relayouts on the flash path
+            out = attention_packed(q, k, v, self.heads)
 
         if use_adapter:
             bk = nn.Dense(inner, use_bias=False, dtype=self.dtype,
@@ -189,7 +188,8 @@ class Attention(nn.Module):
             # enrich box K/V by attending to class K/V (reference :357-365)
             bk = bk + multi_head_attention(bk, ck, cv)
             bv = bv + multi_head_attention(bv, ck, cv)
-            box_out = multi_head_attention(q, bk, bv).reshape(b, lq, inner)
+            box_out = multi_head_attention(
+                heads_split(q), bk, bv).reshape(b, lq, inner)
             out = out + self.box_scale * box_out
 
         return self._proj("to_out_0", out, inner, use_bias=self.out_bias)

@@ -26,7 +26,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["mha_einsum", "flash_attention", "multi_head_attention"]
+__all__ = ["mha_einsum", "flash_attention", "multi_head_attention",
+           "attention_packed"]
 
 _NEG_INF = -1e30
 
@@ -382,3 +383,156 @@ def multi_head_attention(
     if use_flash:
         return flash_attention(q, k, v, scale=scale)
     return mha_einsum(q, k, v, scale=scale)
+
+
+# ------------------------------------------- channel-packed (B, L, C) API --
+#
+# The head split/merge relayouts around the (BH, L, 40) kernel layout cost
+# ~204 ms per generation call (r3 profile): splitting the 320-lane channel
+# dim into (H=8, D=40) is a lane-splitting reshape, and the (B,L,H,D) ->
+# (B,H,L,D) transpose relayouts a 40-lane minor dim that the tiled layout
+# pads to 128.  The inference path below keeps tensors channel-packed and
+# feeds the kernel a TRANSPOSED (B, C, L) layout instead: heads become
+# *second-minor block indexing* (a 40-row sublane block is legal, unlike a
+# 40-lane slice, which mosaic rejects), L is the 128-aligned lane dim, and
+# both MXU dots are expressed via ``dot_general`` contracting dims so no
+# transpose is needed in-kernel.  Training (the differentiated path) keeps
+# the existing split-layout kernels via the custom-VJP fwd/bwd.
+
+
+def _fwd_kernel_t(q_ref, k_ref, v_ref, o_ref, *, scale, kv_len):
+    """Whole-sequence transposed-layout forward (inference only, no LSE).
+
+    Blocks: q (1, d, Lq_p), k/v (1, d, Lk_p), out (1, d, Lq_p) — one head
+    per program.  Scores are (Lk_p, Lq_p): softmax reduces over sublanes.
+    """
+    qt = q_ref[0].astype(jnp.float32) * scale  # (d, lq_p)
+    kt = k_ref[0].astype(jnp.float32)          # (d, lk_p)
+    vt = v_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(kt, qt, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # (lk_p, lq_p)
+    if kv_len < k_ref.shape[2]:
+        kpos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        s = jnp.where(kpos < kv_len, s, _NEG_INF)
+    m = jnp.max(s, axis=0, keepdims=True)  # (1, lq_p)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=0, keepdims=True)
+    o = jax.lax.dot_general(vt, p, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # (d, lq_p)
+    o_ref[0] = (o / l).astype(o_ref.dtype)
+
+
+# max fp32 score-tile elements for the whole-sequence transposed kernel
+# (same budget as _auto_blocks: ~8MB for s, reused in-place for p)
+_T_SCORE_CAP = 2 * 1024 * 1024
+
+
+def _packed_infer(q, k, v, scale, heads, lens):
+    """(B, L, C) inference path: transposed kernel, no head relayouts."""
+    lq, lk = lens
+    b, _, c = q.shape
+    d = c // heads
+    up128 = lambda x: -(-x // 128) * 128
+    lq_p, lk_p = up128(lq), up128(lk)
+    if d % 8 != 0 or lq_p * lk_p > _T_SCORE_CAP:
+        # shape outside the whole-block envelope (e.g. exp-hd 5184 tokens):
+        # fall back to the split-layout kernels
+        qb, kb, vb, blocks = _split_to_bh(q, k, v, heads, lens)
+        out = _flash_padded(qb, kb, vb, scale, lens, blocks)
+        return _merge_from_bh(out, b, heads, lq)
+    qt = _pad_to(jnp.swapaxes(q, 1, 2), 2, 128)
+    kt = _pad_to(jnp.swapaxes(k, 1, 2), 2, 128)
+    vt = _pad_to(jnp.swapaxes(v, 1, 2), 2, 128)
+    out_t = pl.pallas_call(
+        functools.partial(_fwd_kernel_t, scale=scale, kv_len=lk),
+        grid=(b, heads),
+        in_specs=[
+            pl.BlockSpec((1, d, lq_p), lambda i, h: (i, h, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, lk_p), lambda i, h: (i, h, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, lk_p), lambda i, h: (i, h, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, d, lq_p), lambda i, h: (i, h, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, c, lq_p), q.dtype),
+        interpret=_interpret(),
+    )(qt, kt, vt)
+    return jnp.swapaxes(out_t, 1, 2)[:, :lq]
+
+
+def _split_to_bh(q, k, v, heads, lens):
+    """(B, L, C) x3 -> block-padded (BH, L, D) x3 + blocks (training path)."""
+    lq, lk = lens
+    block_q, block_k = _auto_blocks(lq, lk)
+    block_q = min(block_q, max(128, 1 << (lq - 1).bit_length()))
+    block_k = min(block_k, max(128, 1 << (lk - 1).bit_length()))
+
+    def go(t, block):
+        b, l, c = t.shape
+        d = c // heads
+        x = t.reshape(b, l, heads, d).transpose(0, 2, 1, 3)
+        return _pad_to(x.reshape(b * heads, l, d), 1, block)
+
+    return go(q, block_q), go(k, block_k), go(v, block_k), (block_q, block_k)
+
+
+def _merge_from_bh(x, b, heads, l):
+    """(BH, L_p, D) -> (B, L, C)."""
+    d = x.shape[-1]
+    x = x[:, :l].reshape(b, heads, l, d).transpose(0, 2, 1, 3)
+    return x.reshape(b, l, heads * d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_packed(q, k, v, scale, heads, lens):
+    # primal (non-differentiated) = inference: transposed-layout kernel
+    return _packed_infer(q, k, v, scale, heads, lens)
+
+
+def _flash_packed_fwd(q, k, v, scale, heads, lens):
+    qb, kb, vb, blocks = _split_to_bh(q, k, v, heads, lens)
+    out, res = _flash_padded_fwd(qb, kb, vb, scale, lens, blocks)
+    return _merge_from_bh(out, q.shape[0], heads, lens[0]), (res, blocks)
+
+
+def _flash_packed_bwd(scale, heads, lens, carry, g):
+    res, blocks = carry
+    b, lq, c = g.shape
+    d = c // heads
+    gb = g.reshape(b, lq, heads, d).transpose(0, 2, 1, 3)
+    gb = _pad_to(gb.reshape(b * heads, lq, d), 1, blocks[0])
+    dq, dk, dv = _flash_padded_bwd(scale, lens, blocks, res, gb)
+    return (_merge_from_bh(dq, b, heads, lens[0]),
+            _merge_from_bh(dk, b, heads, lens[1]),
+            _merge_from_bh(dv, b, heads, lens[1]))
+
+
+_flash_packed.defvjp(_flash_packed_fwd, _flash_packed_bwd)
+
+
+def attention_packed(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    heads: int,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Channel-packed attention: q,k,v (B, L, C) -> (B, Lq, C).
+
+    Long sequences on TPU take the flash path, whose inference primal runs
+    the transposed (B, C, L) kernel with zero head split/merge relayouts;
+    short (cross-attn) sequences use the einsum path.
+    """
+    b, lq, c = q.shape
+    d = c // heads
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    use_flash = _tracing_on_tpu() and lq >= 1024 and k.shape[1] >= 1024
+    if use_flash:
+        return _flash_packed(q, k, v, float(scale), heads,
+                             (lq, k.shape[1]))
+    split = lambda t: t.reshape(t.shape[0], t.shape[1], heads, d)
+    return mha_einsum(split(q), split(k), split(v),
+                      scale=scale).reshape(b, lq, c)

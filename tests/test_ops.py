@@ -115,3 +115,50 @@ def test_flash_attention_auto_block_gradients(rng):
                   argnums=(0, 1, 2))(q, k, v)
     for a, b_ in zip(gf, ge):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-3)
+
+
+def test_packed_attention_inference_and_grads(rng):
+    """Channel-packed (B, L, C) API: the inference primal runs the
+    TRANSPOSED (B, C, L) kernel (heads as sublane blocks, zero head
+    relayouts); the differentiated path uses the split-layout kernels.
+    Both must match einsum."""
+    from dualdiff_tpu.ops.attention import _flash_packed
+
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    b, l, h, d = 1, 1400, 4, 16
+    c = h * d
+    q = jax.random.normal(k1, (b, l, c), jnp.float32)
+    k = jax.random.normal(k2, (b, l, c), jnp.float32)
+    v = jax.random.normal(k3, (b, l, c), jnp.float32)
+    split = lambda t: t.reshape(b, l, h, d)
+    ref = mha_einsum(split(q), split(k), split(v)).reshape(b, l, c)
+
+    out = _flash_packed(q, k, v, d**-0.5, h, (l, l))  # primal = transposed
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+    ref_w = jax.random.normal(k4, (b, l, c), jnp.float32)
+    gf = jax.grad(lambda *a: jnp.sum(
+        _flash_packed(*a, d**-0.5, h, (l, l)) * ref_w),
+        argnums=(0, 1, 2))(q, k, v)
+    ge = jax.grad(lambda *a: jnp.sum(
+        mha_einsum(*map(split, a)).reshape(b, l, c) * ref_w),
+        argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, ge):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-3)
+
+
+def test_packed_attention_fallback_over_cap(rng):
+    """Score tiles over the VMEM cap (e.g. ST-Attn lk=2800) must route the
+    packed primal through the split-layout kernels and still match."""
+    from dualdiff_tpu.ops.attention import _flash_packed
+
+    k1, k2, k3 = jax.random.split(rng, 3)
+    b, lq, lk, h, d = 1, 1400, 2800, 2, 16
+    c = h * d
+    q = jax.random.normal(k1, (b, lq, c), jnp.float32)
+    k = jax.random.normal(k2, (b, lk, c), jnp.float32)
+    v = jax.random.normal(k3, (b, lk, c), jnp.float32)
+    ref = mha_einsum(q.reshape(b, lq, h, d), k.reshape(b, lk, h, d),
+                     v.reshape(b, lk, h, d)).reshape(b, lq, c)
+    out = _flash_packed(q, k, v, d**-0.5, h, (lq, lk))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
