@@ -101,14 +101,22 @@ def main():
     dt = (time.time() - t0) / iters
     fps = B / dt  # six-view frame-sets per second per chip
 
-    # auditable MFU: XLA's own FLOP count for the compiled graph (a jit
-    # cache hit after the call above) over the v5e bf16 peak
+    # auditable MFU: XLA's own FLOP counts over the v5e bf16 peak.  The
+    # full-graph count treats the 20-step denoise while loop as ONE
+    # iteration (HloCostAnalysis semantics), so the honest total adds
+    # (steps-1) x the per-step cost, which two compile-only probes pin down
+    # as a difference (pipeline.probe_flops; both cached after first run).
     from dualdiff_tpu.utils.flops import device_peak_flops, jit_flops
 
     gen_flops = jit_flops(pipe._generate, pipe.params, tensors,
                           jax.random.PRNGKey(2), None, None)
+    f1 = pipe.probe_flops(tensors, 1)
+    f2 = pipe.probe_flops(tensors, 2)
+    step_flops = (f2 - f1) if (f1 and f2) else None
+    total_flops = (gen_flops + (STEPS - 1) * step_flops
+                   if (gen_flops and step_flops) else gen_flops)
     peak = device_peak_flops()
-    mfu = (gen_flops / dt / peak) if (gen_flops and peak) else None
+    mfu = (total_flops / dt / peak) if (total_flops and peak) else None
 
     result = {
         "metric": "6-view 224x400 frames/sec/chip (UniPC-20, CFG 2, dual-branch)",
@@ -123,7 +131,11 @@ def main():
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
             "baseline_assumption_fps": A100_BASELINE_FPS,
-            "model_tflops": round(gen_flops / 1e12, 2) if gen_flops else None,
+            "model_tflops": round(total_flops / 1e12, 2) if total_flops else None,
+            "model_tflops_while_body_once": (
+                round(gen_flops / 1e12, 2) if gen_flops else None),
+            "denoise_step_tflops": (
+                round(step_flops / 1e12, 2) if step_flops else None),
             "mfu": round(mfu, 4) if mfu else None,
         },
     }

@@ -411,12 +411,16 @@ def _fwd_kernel_t(q_ref, k_ref, v_ref, o_ref, *, scale, kv_len):
     vt = v_ref[0].astype(jnp.float32)
     s = jax.lax.dot_general(kt, qt, (((0,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)  # (lk_p, lq_p)
-    if kv_len < k_ref.shape[2]:
-        kpos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-        s = jnp.where(kpos < kv_len, s, _NEG_INF)
-    m = jnp.max(s, axis=0, keepdims=True)  # (1, lq_p)
+    m = jnp.max(s, axis=0, keepdims=True)  # (1, lq_p); >= 0 with pads
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=0, keepdims=True)
+    n_pad = k_ref.shape[2] - kv_len
+    if n_pad:
+        # zero-padded K columns score s=0 and so add exactly exp(-m) each to
+        # the denominator, while zero-padded V rows add nothing to the
+        # numerator — correcting l here is cheaper than an iota+where mask
+        # pass over the full (lk_p, lq_p) score tile
+        l = l - n_pad * jnp.exp(-m)
     o = jax.lax.dot_general(vt, p, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)  # (d, lq_p)
     o_ref[0] = (o / l).astype(o_ref.dtype)

@@ -119,10 +119,34 @@ class BEVControlNetPipeline:
                               conditional_mask)
 
     # ------------------------------------------------------------------
+    def probe_flops(self, batch: Dict, probe_steps: int):
+        """Model FLOPs (XLA cost analysis) of conditioning precompute plus
+        ``probe_steps`` chained denoise-step evaluations — compile-only, no
+        execution.  The full-generate FLOP count treats the denoise while
+        loop as ONE iteration; an honest total is
+        ``full + (steps - 1) * (probe_flops(b, 2) - probe_flops(b, 1))``.
+        """
+        from ..utils.flops import jit_flops
+
+        pp = self.cfg.runner.pipeline_param
+        probe = jax.jit(functools.partial(
+            self._generate_impl,
+            num_inference_steps=int(pp.num_inference_steps),
+            guidance_scale=float(pp.guidance_scale),
+            scheduler=str(pp.get("scheduler", "unipc")),
+            conditioning_scale=float(pp.controlnet_conditioning_scale),
+            probe_steps=int(probe_steps),
+        ))
+        tensors = prepare_batch(batch) if "branches" in batch else batch
+        return jit_flops(probe, self.params, tensors,
+                         jax.random.PRNGKey(0), None, None)
+
+    # ------------------------------------------------------------------
     def _generate_impl(self, params, batch, rng,
                        conditional_latents=None, conditional_mask=None, *,
                        num_inference_steps: int, guidance_scale: float,
-                       scheduler: str, conditioning_scale: float):
+                       scheduler: str, conditioning_scale: float,
+                       probe_steps: int = 0):
         models, cfg = self.models, self.cfg
         unet, controlnets = models["unet"], models["controlnets"]
         vae, text_encoder = models["vae"], models["text_encoder"]
@@ -259,6 +283,17 @@ class BEVControlNetPipeline:
         # are re-evaluated only every k-th denoise step and reused in
         # between — the conditioning encoder changes slowly across adjacent
         # timesteps, while the UNet still runs every step.
+        if probe_steps:
+            # FLOP-audit hook (``probe_flops``): run ``probe_steps`` chained
+            # plain model evaluations and stop.  XLA cost analysis counts a
+            # while-loop body ONCE, so the full-generate FLOP number misses
+            # (steps-1) denoise iterations; compiling this graph at k=1 and
+            # k=2 gives the true per-step cost as a difference.
+            x = lat0
+            for i in range(probe_steps):
+                x = model_fn(x, jnp.int32(103 + 97 * i))
+            return x
+
         cn_cache_k = int(self.cfg.runner.pipeline_param.get(
             "cn_cache_interval", 0))
         cached_model_fn = None
