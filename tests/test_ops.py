@@ -147,6 +147,31 @@ def test_packed_attention_inference_and_grads(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-3)
 
 
+def test_packed_attention_short_kv(rng):
+    """Long-query/short-KV (cross-attn shape): the inference primal runs
+    the transposed kernel with heavy K padding + l-correction; the training
+    path routes through einsum (exact-equal grads)."""
+    from dualdiff_tpu.ops.attention import _einsum_packed, _flash_packed
+
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    b, lq, lk, h, d = 1, 1400, 158, 4, 16
+    c = h * d
+    q = jax.random.normal(k1, (b, lq, c), jnp.float32)
+    k = jax.random.normal(k2, (b, lk, c), jnp.float32)
+    v = jax.random.normal(k3, (b, lk, c), jnp.float32)
+    ref = _einsum_packed(q, k, v, d**-0.5, h)
+    out = _flash_packed(q, k, v, d**-0.5, h, (lq, lk))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+    w = jax.random.normal(k4, (b, lq, c), jnp.float32)
+    gp = jax.grad(lambda *a: jnp.sum(
+        _flash_packed(*a, d**-0.5, h, (lq, lk)) * w), argnums=(0, 1, 2))(q, k, v)
+    ge = jax.grad(lambda *a: jnp.sum(
+        _einsum_packed(*a, d**-0.5, h) * w), argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gp, ge):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
 def test_packed_attention_fallback_over_cap(rng):
     """Score tiles over the VMEM cap (e.g. ST-Attn lk=2800) must route the
     packed primal through the split-layout kernels and still match."""
