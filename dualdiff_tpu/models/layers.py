@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.attention import attention_packed, multi_head_attention
+from ..ops.attention import (attention_packed, attention_packed_neighbors,
+                             multi_head_attention)
 from ..ops.fourier import timestep_embedding
 
 Dtype = Any
@@ -138,6 +139,7 @@ class Attention(nn.Module):
         self,
         hidden_states: jnp.ndarray,
         encoder_hidden_states: Optional[jnp.ndarray] = None,
+        ring_views: int = 0,
     ) -> jnp.ndarray:
         kv = hidden_states if encoder_hidden_states is None else encoder_hidden_states
         inner = self.query_dim
@@ -146,6 +148,18 @@ class Attention(nn.Module):
 
         def heads_split(t):
             return t.reshape(b, -1, self.heads, head_dim)
+
+        if ring_views:
+            # attn4 camera-ring mode: hidden_states folds (batch, view); the
+            # op sums attention against the left/right neighbor views, with
+            # neighbor selection fused into the kernel (ops/attention.py::
+            # attention_packed_neighbors) — K/V projections run ONCE per
+            # view instead of once per stacked neighbor copy
+            q = self._proj("to_q", hidden_states, inner)
+            k = self._proj("to_k", hidden_states, inner)
+            v = self._proj("to_v", hidden_states, inner)
+            out = attention_packed_neighbors(q, k, v, self.heads, ring_views)
+            return self._proj("to_out_0", out, inner, use_bias=self.out_bias)
 
         use_adapter = (self.box_adapter and self.num_box_tokens > 0
                        and encoder_hidden_states is not None)
@@ -324,6 +338,14 @@ class BasicTransformerBlock(nn.Module):
         if self.neighboring_attn_type == "self":
             out = attn4(h.reshape(b, n_cam * l, d), None)
             return out.reshape(bn, l, d)
+
+        ring = all(tuple(pairs[i]) == ((i - 1) % n_cam, (i + 1) % n_cam)
+                   for i in range(n_cam))
+        if (self.neighboring_attn_type == "add" and ring
+                and not self.is_mutable_collection("intermediates")):
+            # camera-ring neighbors: fused kernel path (no kv gather/stack;
+            # explore/sow mode keeps the explicit formulation below)
+            return attn4(norm_h, None, ring_views=n_cam)
 
         left = np.array([pairs[i][0] for i in range(n_cam)])
         right = np.array([pairs[i][1] for i in range(n_cam)])

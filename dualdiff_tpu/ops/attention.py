@@ -23,11 +23,12 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["mha_einsum", "flash_attention", "multi_head_attention",
-           "attention_packed"]
+           "attention_packed", "attention_packed_neighbors"]
 
 _NEG_INF = -1e30
 
@@ -406,24 +407,9 @@ def _fwd_kernel_t(q_ref, k_ref, v_ref, o_ref, *, scale, kv_len):
     Blocks: q (1, d, Lq_p), k/v (1, d, Lk_p), out (1, d, Lq_p) — one head
     per program.  Scores are (Lk_p, Lq_p): softmax reduces over sublanes.
     """
-    qt = q_ref[0].astype(jnp.float32) * scale  # (d, lq_p)
-    kt = k_ref[0].astype(jnp.float32)          # (d, lk_p)
-    vt = v_ref[0].astype(jnp.float32)
-    s = jax.lax.dot_general(kt, qt, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # (lk_p, lq_p)
-    m = jnp.max(s, axis=0, keepdims=True)  # (1, lq_p); >= 0 with pads
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=0, keepdims=True)
-    n_pad = k_ref.shape[2] - kv_len
-    if n_pad:
-        # zero-padded K columns score s=0 and so add exactly exp(-m) each to
-        # the denominator, while zero-padded V rows add nothing to the
-        # numerator — correcting l here is cheaper than an iota+where mask
-        # pass over the full (lk_p, lq_p) score tile
-        l = l - n_pad * jnp.exp(-m)
-    o = jax.lax.dot_general(vt, p, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # (d, lq_p)
-    o_ref[0] = (o / l).astype(o_ref.dtype)
+    o = _attn_body_t(q_ref[0], k_ref[0], v_ref[0], scale, kv_len,
+                     k_ref.shape[2])
+    o_ref[0] = o.astype(o_ref.dtype)
 
 
 # max fp32 score-tile elements for the whole-sequence transposed kernel
@@ -487,6 +473,153 @@ def _merge_from_bh(x, b, heads, l):
     d = x.shape[-1]
     x = x[:, :l].reshape(b, heads, l, d).transpose(0, 2, 1, 3)
     return x.reshape(b, l, heads * d)
+
+
+def _attn_body_t(qt, kt, vt, scale, kv_len, lk_p):
+    """Transposed-layout attention body: qt (d, lq_p), kt/vt (d, lk_p) ->
+    o (d, lq_p) fp32.  Shared by the plain and fused-neighbor kernels."""
+    qt = qt.astype(jnp.float32) * scale
+    kt = kt.astype(jnp.float32)
+    vt = vt.astype(jnp.float32)
+    s = jax.lax.dot_general(kt, qt, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # (lk_p, lq_p)
+    m = jnp.max(s, axis=0, keepdims=True)  # (1, lq_p); >= 0 with pads
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=0, keepdims=True)
+    n_pad = lk_p - kv_len
+    if n_pad:
+        # zero-padded K columns score s=0 and so add exactly exp(-m) each to
+        # the denominator, while zero-padded V rows add nothing to the
+        # numerator — correcting l here is cheaper than an iota+where mask
+        # pass over the full (lk_p, lq_p) score tile
+        l = l - n_pad * jnp.exp(-m)
+    o = jax.lax.dot_general(vt, p, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # (d, lq_p)
+    return o / l
+
+
+def _fwd_kernel_t_nbr(q_ref, k_ref, v_ref, o_ref, *, scale, kv_len):
+    """Fused ring-neighbor multiview attention (attn4 'add' semantics):
+    grid (B, view, head, neighbor) with neighbor INNERMOST — both neighbor
+    programs map to the same output block, which stays resident in VMEM;
+    j==0 writes, j==1 accumulates.  The neighbor view is selected by the
+    k/v BlockSpec index_map ((n +- 1) mod n_cam), so the gathered/stacked
+    kv copies of the layer-level formulation never materialize."""
+    j = pl.program_id(3)
+    o = _attn_body_t(q_ref[0, 0], k_ref[0, 0], v_ref[0, 0], scale, kv_len,
+                     k_ref.shape[3]).astype(o_ref.dtype)
+
+    @pl.when(j == 0)
+    def _():
+        o_ref[0, 0] = o
+
+    @pl.when(j != 0)
+    def _():
+        o_ref[0, 0] = o_ref[0, 0] + o
+
+
+def _nbr_stacked(q, k, v, scale, heads, n_cam, lens, use_flash):
+    """Stacked [left; right] neighbor formulation (training / fallback) —
+    identical compute to gathering the hidden states first (row-wise GEMMs
+    commute with the gather)."""
+    bn, lq, c = q.shape
+    b = bn // n_cam
+    left = np.array([(i - 1) % n_cam for i in range(n_cam)])
+    right = np.array([(i + 1) % n_cam for i in range(n_cam)])
+
+    def take(t, idx):
+        return jnp.take(t.reshape(b, n_cam, lq, c), idx,
+                        axis=1).reshape(bn, lq, c)
+
+    q2 = jnp.concatenate([q, q], axis=0)
+    k2 = jnp.concatenate([take(k, left), take(k, right)], axis=0)
+    v2 = jnp.concatenate([take(v, left), take(v, right)], axis=0)
+    if use_flash:
+        out2 = _flash_packed(q2, k2, v2, scale, heads, lens)
+    else:
+        out2 = _einsum_packed(q2, k2, v2, scale, heads)
+    return out2[:bn] + out2[bn:]
+
+
+def _nbr_train(q, k, v, scale, heads, n_cam, lens):
+    return _nbr_stacked(q, k, v, scale, heads, n_cam, lens, use_flash=True)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_packed_nbr(q, k, v, scale, heads, n_cam, lens):
+    lq = lens[0]
+    bn, _, c = q.shape
+    b, d = bn // n_cam, c // heads
+    lq_p = -(-lq // 128) * 128
+    if d % 8 != 0 or lq_p * lq_p > _T_SCORE_CAP:
+        return _nbr_train(q, k, v, scale, heads, n_cam, lens)
+
+    def to_t(t):
+        t = _pad_to(jnp.swapaxes(t, 1, 2), 2, 128)
+        return t.reshape(b, n_cam, c, lq_p)
+
+    qt, kt, vt = to_t(q), to_t(k), to_t(v)
+    spec_self = pl.BlockSpec((1, 1, d, lq_p),
+                             lambda i, n, h, j: (i, n, h, 0),
+                             memory_space=pltpu.VMEM)
+    # floored mod keeps the index in range for n=0, j=0 (left neighbor -1)
+    spec_nbr = pl.BlockSpec(
+        (1, 1, d, lq_p),
+        lambda i, n, h, j: (i, (n + n_cam + 2 * j - 1) % n_cam, h, 0),
+        memory_space=pltpu.VMEM)
+    out_t = pl.pallas_call(
+        functools.partial(_fwd_kernel_t_nbr, scale=scale, kv_len=lq),
+        grid=(b, n_cam, heads, 2),
+        in_specs=[spec_self, spec_nbr, spec_nbr],
+        out_specs=spec_self,
+        out_shape=jax.ShapeDtypeStruct((b, n_cam, c, lq_p), q.dtype),
+        interpret=_interpret(),
+    )(qt, kt, vt)
+    return jnp.swapaxes(out_t.reshape(bn, c, lq_p), 1, 2)[:, :lq]
+
+
+def _flash_packed_nbr_fwd(q, k, v, scale, heads, n_cam, lens):
+    out, vjp = jax.vjp(
+        lambda q_, k_, v_: _nbr_train(q_, k_, v_, scale, heads, n_cam, lens),
+        q, k, v)
+    return out, (vjp,)
+
+
+def _flash_packed_nbr_bwd(scale, heads, n_cam, lens, carry, g):
+    (vjp,) = carry
+    return vjp(g)
+
+
+_flash_packed_nbr.defvjp(_flash_packed_nbr_fwd, _flash_packed_nbr_bwd)
+
+
+def attention_packed_neighbors(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    heads: int,
+    n_cam: int,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Ring-neighbor multiview attention (attn4 'add'): q/k/v are the
+    PER-VIEW projections (B*n_cam, L, C); returns the sum over the left and
+    right camera neighbors of attention(q[view], kv[neighbor]).
+
+    The inference primal fuses neighbor selection into the kernel's
+    BlockSpec index_map (no kv gather/stack materialization, and K/V
+    projections run once per view instead of once per neighbor); training
+    uses the stacked-batch flash path, numerically identical to the
+    layer-level gather formulation."""
+    lq = q.shape[1]
+    d = q.shape[-1] // heads
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    if _tracing_on_tpu() and lq >= 1024 and d % 8 == 0:
+        return _flash_packed_nbr(q, k, v, float(scale), heads, n_cam,
+                                 (lq, lq))
+    # CPU / short sequences: stacked einsum formulation
+    return _nbr_stacked(q, k, v, float(scale), heads, n_cam, (lq, lq),
+                        use_flash=False)
 
 
 def _einsum_packed(q, k, v, scale, heads):

@@ -172,6 +172,47 @@ def test_packed_attention_short_kv(rng):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
 
 
+def test_packed_neighbor_attention(rng):
+    """Fused camera-ring attn4 kernel: neighbor selection via BlockSpec
+    index_map + in-VMEM output accumulation must equal the explicit
+    per-neighbor gather formulation, for values AND grads."""
+    from dualdiff_tpu.ops.attention import (_einsum_packed,
+                                            _flash_packed_nbr)
+
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    B, N, L, h, d = 1, 6, 1400, 4, 8
+    c = h * d
+    bn = B * N
+    q = jax.random.normal(k1, (bn, L, c), jnp.float32)
+    k = jax.random.normal(k2, (bn, L, c), jnp.float32)
+    v = jax.random.normal(k3, (bn, L, c), jnp.float32)
+
+    def ref_fn(q, k, v):
+        left = jnp.array([(i - 1) % N for i in range(N)])
+        right = jnp.array([(i + 1) % N for i in range(N)])
+
+        def take(t, idx):
+            return jnp.take(t.reshape(B, N, L, c), idx,
+                            axis=1).reshape(bn, L, c)
+
+        o_l = _einsum_packed(q, take(k, left), take(v, left), d**-0.5, h)
+        o_r = _einsum_packed(q, take(k, right), take(v, right), d**-0.5, h)
+        return o_l + o_r
+
+    ref = ref_fn(q, k, v)
+    out = _flash_packed_nbr(q, k, v, d**-0.5, h, N, (L, L))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+    w = jax.random.normal(k4, (bn, L, c), jnp.float32)
+    gp = jax.grad(lambda *a: jnp.sum(
+        _flash_packed_nbr(*a, d**-0.5, h, N, (L, L)) * w),
+        argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(lambda *a: jnp.sum(ref_fn(*a) * w),
+                  argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-3)
+
+
 def test_packed_attention_fallback_over_cap(rng):
     """Score tiles over the VMEM cap (e.g. ST-Attn lk=2800) must route the
     packed primal through the split-layout kernels and still match."""
