@@ -417,6 +417,77 @@ def _fwd_kernel_t(q_ref, k_ref, v_ref, o_ref, *, scale, kv_len):
 _T_SCORE_CAP = 2 * 1024 * 1024
 
 
+def _fwd_kernel_t_capped(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+                         *, scale, kv_len, block_k):
+    """Online-softmax transposed-layout forward for sequences whose whole
+    score tile exceeds VMEM (video ST-Attn Lk=2800, exp-hd 5184 tokens):
+    K/V are grid-blocked on the innermost dim with (m, l, acc) carried in
+    VMEM scratch; the output block is written at the last K block."""
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    qt = q_ref[0].astype(jnp.float32) * scale  # (d, lq_p)
+    kt = k_ref[0].astype(jnp.float32)          # (d, block_k)
+    vt = v_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(kt, qt, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # (bk, lq_p)
+    kpos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    s = jnp.where(kpos < kv_len, s, _NEG_INF)
+    m_new = jnp.maximum(m_ref[...], jnp.max(s, axis=0, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_ref[...] - m_new)
+    l_ref[...] = alpha * l_ref[...] + jnp.sum(p, axis=0, keepdims=True)
+    acc_ref[...] = alpha * acc_ref[...] + jax.lax.dot_general(
+        vt, p, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    m_ref[...] = m_new
+
+    @pl.when(j == nk - 1)
+    def _():
+        o_ref[0] = (acc_ref[...] / l_ref[...]).astype(o_ref.dtype)
+
+
+def _packed_infer_capped(q, k, v, scale, heads, lens):
+    """Transposed-layout inference with K/V grid-blocking (whole-q tile)."""
+    lq, lk = lens
+    b, _, c = q.shape
+    d = c // heads
+    block_k = 512
+    lq_p = -(-lq // 128) * 128
+    lk_p = -(-lk // block_k) * block_k
+    qt = _pad_to(jnp.swapaxes(q, 1, 2), 2, 128)
+    kt = _pad_to(jnp.swapaxes(k, 1, 2), 2, block_k)
+    vt = _pad_to(jnp.swapaxes(v, 1, 2), 2, block_k)
+    out_t = pl.pallas_call(
+        functools.partial(_fwd_kernel_t_capped, scale=scale, kv_len=lk,
+                          block_k=block_k),
+        grid=(b, heads, lk_p // block_k),
+        in_specs=[
+            pl.BlockSpec((1, d, lq_p), lambda i, h, j: (i, h, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, block_k), lambda i, h, j: (i, h, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, block_k), lambda i, h, j: (i, h, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, d, lq_p), lambda i, h, j: (i, h, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, c, lq_p), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((1, lq_p), jnp.float32),
+            pltpu.VMEM((1, lq_p), jnp.float32),
+            pltpu.VMEM((d, lq_p), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(qt, kt, vt)
+    return jnp.swapaxes(out_t, 1, 2)[:, :lq]
+
+
 def _packed_infer(q, k, v, scale, heads, lens):
     """(B, L, C) inference path: transposed kernel, no head relayouts."""
     lq, lk = lens
@@ -424,12 +495,16 @@ def _packed_infer(q, k, v, scale, heads, lens):
     d = c // heads
     up128 = lambda x: -(-x // 128) * 128
     lq_p, lk_p = up128(lq), up128(lk)
-    if d % 8 != 0 or lq_p * lk_p > _T_SCORE_CAP:
-        # shape outside the whole-block envelope (e.g. exp-hd 5184 tokens):
+    if d % 8 != 0 or lq_p > 5376:
+        # head_dim not sublane-blockable / q tile beyond the VMEM envelope:
         # fall back to the split-layout kernels
         qb, kb, vb, blocks = _split_to_bh(q, k, v, heads, lens)
         out = _flash_padded(qb, kb, vb, scale, lens, blocks)
         return _merge_from_bh(out, b, heads, lq)
+    if lq_p * lk_p > _T_SCORE_CAP:
+        # whole score tile over VMEM (video ST-Attn lk=2800, exp-hd 5184):
+        # K/V grid-blocked online-softmax variant
+        return _packed_infer_capped(q, k, v, scale, heads, lens)
     qt = _pad_to(jnp.swapaxes(q, 1, 2), 2, 128)
     kt = _pad_to(jnp.swapaxes(k, 1, 2), 2, 128)
     vt = _pad_to(jnp.swapaxes(v, 1, 2), 2, 128)

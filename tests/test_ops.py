@@ -213,9 +213,11 @@ def test_packed_neighbor_attention(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-3)
 
 
-def test_packed_attention_fallback_over_cap(rng):
-    """Score tiles over the VMEM cap (e.g. ST-Attn lk=2800) must route the
-    packed primal through the split-layout kernels and still match."""
+def test_packed_attention_capped_over_cap(rng):
+    """Score tiles over the whole-tile VMEM cap (ST-Attn lk=2800) route the
+    packed primal through the K/V grid-blocked online-softmax kernel and
+    still match einsum; q tiles beyond the VMEM envelope fall back to the
+    split kernels."""
     from dualdiff_tpu.ops.attention import _flash_packed
 
     k1, k2, k3 = jax.random.split(rng, 3)
@@ -228,3 +230,10 @@ def test_packed_attention_fallback_over_cap(rng):
                      v.reshape(b, lk, h, d)).reshape(b, lq, c)
     out = _flash_packed(q, k, v, d**-0.5, h, (lq, lk))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+    # very long q (beyond the 5376-lane tile envelope): split-kernel path
+    q6 = jax.random.normal(k1, (b, 6000, c), jnp.float32)
+    ref6 = mha_einsum(q6.reshape(b, 6000, h, d), k.reshape(b, lk, h, d),
+                      v.reshape(b, lk, h, d)).reshape(b, 6000, c)
+    out6 = _flash_packed(q6, k, v, d**-0.5, h, (6000, lk))
+    np.testing.assert_allclose(np.asarray(out6), np.asarray(ref6), atol=2e-3)
