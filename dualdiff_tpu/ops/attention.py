@@ -593,6 +593,207 @@ def _fwd_kernel_t_nbr(q_ref, k_ref, v_ref, o_ref, *, scale, kv_len):
         o_ref[0, 0] = o_ref[0, 0] + o
 
 
+# ---------------------------------------- transposed-layout training path --
+#
+# For whole-tile shapes (self-attn / attn4 at 1408 tokens) the TRAINING
+# forward/backward also runs in the (B, C, L) layout: no head split/merge
+# relayouts around any of the three kernels, and the LSE is a natural
+# (1, Lq) lane-oriented output instead of the split layout's 128-lane
+# broadcast.  Backward tiles are VMEM-bounded by grid-blocking K (for dq)
+# or Q (for dk/dv) with accumulators in scratch.
+
+
+def _fwd_kernel_t_lse(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, kv_len):
+    qt = q_ref[0].astype(jnp.float32) * scale  # (d, lq_p)
+    kt = k_ref[0].astype(jnp.float32)
+    vt = v_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(kt, qt, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # (lk_p, lq_p)
+    if kv_len < k_ref.shape[2]:
+        kpos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        s = jnp.where(kpos < kv_len, s, _NEG_INF)
+    m = jnp.max(s, axis=0, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=0, keepdims=True)
+    o = jax.lax.dot_general(vt, p, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o_ref[0] = (o / l).astype(o_ref.dtype)
+    lse_ref[0] = m + jnp.log(l)  # (1, lq_p)
+
+
+def _bwd_dq_kernel_t(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+                     acc_ref, *, scale, kv_len, block_k):
+    """dq in transposed layout; grid (B, H, nk), K innermost, dq in scratch."""
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    qt = q_ref[0].astype(jnp.float32)           # (d, lq_p)
+    kt = k_ref[0].astype(jnp.float32)           # (d, block_k)
+    vt = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)          # (d, lq_p)
+    lse = lse_ref[0]                            # (1, lq_p)
+    delta = delta_ref[0]                        # (1, lq_p)
+    s = jax.lax.dot_general(kt, qt, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    kpos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    s = jnp.where(kpos < kv_len, s, _NEG_INF)
+    p = jnp.exp(s - lse)                        # (block_k, lq_p)
+    dp = jax.lax.dot_general(vt, do, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta)
+    acc_ref[...] = acc_ref[...] + jax.lax.dot_general(
+        kt, ds, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(j == nk - 1)
+    def _():
+        dq_ref[0] = (acc_ref[...] * scale).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel_t(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                      dk_ref, dv_ref, dk_acc, dv_acc, *, scale):
+    """dk/dv in transposed layout; grid (B, H, nq), Q innermost."""
+    j = pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    qt = q_ref[0].astype(jnp.float32)           # (d, block_q)
+    kt = k_ref[0].astype(jnp.float32)           # (d, lk_p)
+    vt = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)          # (d, block_q)
+    lse = lse_ref[0]                            # (1, block_q)
+    delta = delta_ref[0]
+    s = jax.lax.dot_general(kt, qt, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    # no masking needed here: each dk/dv row depends only on its own K
+    # position, so padded K rows produce garbage ONLY in the pad region
+    # (sliced off by the caller), and padded q columns contribute nothing
+    # because do and q are zero there
+    p = jnp.exp(s - lse)                        # (lk_p, block_q)
+    dv_acc[...] = dv_acc[...] + jax.lax.dot_general(
+        do, p, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(vt, do, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta)
+    dk_acc[...] = dk_acc[...] + jax.lax.dot_general(
+        qt, ds, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(j == nq - 1)
+    def _():
+        dk_ref[0] = (dk_acc[...] * scale).astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _train_t_eligible(heads, lens, c):
+    lq, lk = lens
+    d = c // heads
+    up128 = lambda x: -(-x // 128) * 128
+    return d % 8 == 0 and up128(lq) * up128(lk) <= _T_SCORE_CAP
+
+
+def _packed_train_t_fwd(q, k, v, scale, heads, lens):
+    """(B, L, C) training forward in the transposed layout, emitting LSE."""
+    lq, lk = lens
+    b, _, c = q.shape
+    d = c // heads
+    up128 = lambda x: -(-x // 128) * 128
+    lq_p, lk_p = up128(lq), up128(lk)
+    qt = _pad_to(jnp.swapaxes(q, 1, 2), 2, 128)
+    kt = _pad_to(jnp.swapaxes(k, 1, 2), 2, 128)
+    vt = _pad_to(jnp.swapaxes(v, 1, 2), 2, 128)
+    out_t, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel_t_lse, scale=scale, kv_len=lk),
+        grid=(b, heads),
+        in_specs=[
+            pl.BlockSpec((1, d, lq_p), lambda i, h: (i, h, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, lk_p), lambda i, h: (i, h, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, lk_p), lambda i, h: (i, h, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, d, lq_p), lambda i, h: (i, h, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, lq_p), lambda i, h: (i * heads + h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, c, lq_p), q.dtype),
+            jax.ShapeDtypeStruct((b * heads, 1, lq_p), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )(qt, kt, vt)
+    out = jnp.swapaxes(out_t, 1, 2)[:, :lq]
+    return out, (qt, kt, vt, out_t, lse)
+
+
+def _packed_train_t_bwd(scale, heads, lens, res, g):
+    lq, lk = lens
+    qt, kt, vt, out_t, lse = res
+    b, c, lq_p = qt.shape
+    d = c // heads
+    lk_p = kt.shape[2]
+    gt = _pad_to(jnp.swapaxes(g, 1, 2), 2, 128)  # (b, c, lq_p)
+    # per-head delta = sum_d do * o, lane-oriented (B*H, 1, lq_p)
+    delta = (gt.astype(jnp.float32) * out_t.astype(jnp.float32)) \
+        .reshape(b, heads, d, lq_p).sum(axis=2).reshape(b * heads, 1, lq_p)
+
+    blk = 512
+    kt_b, vt_b = _pad_to(kt, 2, blk), _pad_to(vt, 2, blk)
+    lk_b = kt_b.shape[2]
+    spec_q = pl.BlockSpec((1, d, lq_p), lambda i, h, j: (i, h, 0),
+                          memory_space=pltpu.VMEM)
+    spec_kblk = pl.BlockSpec((1, d, blk), lambda i, h, j: (i, h, j),
+                             memory_space=pltpu.VMEM)
+    spec_row = pl.BlockSpec((1, 1, lq_p), lambda i, h, j: (i * heads + h, 0, 0),
+                            memory_space=pltpu.VMEM)
+    dq_t = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel_t, scale=scale, kv_len=lk,
+                          block_k=blk),
+        grid=(b, heads, lk_b // blk),
+        in_specs=[spec_q, spec_kblk, spec_kblk, spec_q, spec_row, spec_row],
+        out_specs=spec_q,
+        out_shape=jax.ShapeDtypeStruct((b, c, lq_p), qt.dtype),
+        scratch_shapes=[pltpu.VMEM((d, lq_p), jnp.float32)],
+        interpret=_interpret(),
+    )(qt, kt_b, vt_b, gt, lse, delta)
+
+    qt_b, gt_b = _pad_to(qt, 2, blk), _pad_to(gt, 2, blk)
+    lse_b, delta_b = _pad_to(lse, 2, blk), _pad_to(delta, 2, blk)
+    lq_b = qt_b.shape[2]
+    spec_qblk = pl.BlockSpec((1, d, blk), lambda i, h, j: (i, h, j),
+                             memory_space=pltpu.VMEM)
+    spec_k = pl.BlockSpec((1, d, lk_p), lambda i, h, j: (i, h, 0),
+                          memory_space=pltpu.VMEM)
+    spec_rowblk = pl.BlockSpec((1, 1, blk),
+                               lambda i, h, j: (i * heads + h, 0, j),
+                               memory_space=pltpu.VMEM)
+    dk_t, dv_t = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel_t, scale=scale),
+        grid=(b, heads, lq_b // blk),
+        in_specs=[spec_qblk, spec_k, spec_k, spec_qblk, spec_rowblk,
+                  spec_rowblk],
+        out_specs=(spec_k, spec_k),
+        out_shape=(jax.ShapeDtypeStruct((b, c, lk_p), kt.dtype),
+                   jax.ShapeDtypeStruct((b, c, lk_p), vt.dtype)),
+        scratch_shapes=[pltpu.VMEM((d, lk_p), jnp.float32),
+                        pltpu.VMEM((d, lk_p), jnp.float32)],
+        interpret=_interpret(),
+    )(qt_b, kt, vt, gt_b, lse_b, delta_b)
+
+    return (jnp.swapaxes(dq_t, 1, 2)[:, :lq],
+            jnp.swapaxes(dk_t, 1, 2)[:, :lk],
+            jnp.swapaxes(dv_t, 1, 2)[:, :lk])
+
+
 def _nbr_stacked(q, k, v, scale, heads, n_cam, lens, use_flash):
     """Stacked [left; right] neighbor formulation (training / fallback) —
     identical compute to gathering the hidden states first (row-wise GEMMs
@@ -719,6 +920,10 @@ def _flash_packed_fwd(q, k, v, scale, heads, lens):
             lambda q_, k_, v_: _einsum_packed(q_, k_, v_, scale, heads),
             q, k, v)
         return out, (vjp,)
+    if _train_t_eligible(heads, lens, q.shape[-1]):
+        # whole-tile shapes (self-attn/attn4): transposed-layout training
+        # kernels — no head split/merge relayouts in fwd OR bwd
+        return _packed_train_t_fwd(q, k, v, scale, heads, lens)
     qb, kb, vb, blocks = _split_to_bh(q, k, v, heads, lens)
     out, res = _flash_padded_fwd(qb, kb, vb, scale, lens, blocks)
     return _merge_from_bh(out, q.shape[0], heads, lens[0]), (res, blocks)
@@ -728,6 +933,8 @@ def _flash_packed_bwd(scale, heads, lens, carry, g):
     if lens[1] < 1024:
         (vjp,) = carry
         return vjp(g)
+    if _train_t_eligible(heads, lens, g.shape[-1]):
+        return _packed_train_t_bwd(scale, heads, lens, carry, g)
     res, blocks = carry
     b, lq, c = g.shape
     d = c // heads
