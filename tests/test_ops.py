@@ -237,3 +237,16 @@ def test_packed_attention_capped_over_cap(rng):
                       v.reshape(b, lk, h, d)).reshape(b, 6000, c)
     out6 = _flash_packed(q6, k, v, d**-0.5, h, (6000, lk))
     np.testing.assert_allclose(np.asarray(out6), np.asarray(ref6), atol=2e-3)
+
+
+def test_validate_kernels_tool():
+    """The on-hardware kernel sanitizer (tools/validate_kernels.py) runs
+    green in CPU/interpret mode: every kernel path within 4x the
+    default-precision einsum's deviation from a float32-precision einsum."""
+    import importlib
+
+    tool = importlib.import_module("tools.validate_kernels")
+    rows = tool.run_checks(quick=True, log=lambda *_: None)
+    assert rows, "no checks ran"
+    bad = [r for r in rows if not r[3]]
+    assert not bad, f"kernel paths off the precision floor: {bad}"
