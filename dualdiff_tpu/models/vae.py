@@ -16,6 +16,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from .norms import GroupNorm
+
 Dtype = Any
 
 SD_VAE_SCALING = 0.18215
@@ -29,11 +31,11 @@ class VAEResnetBlock(nn.Module):
     def __call__(self, x):
         in_ch = x.shape[-1]
         g = min(32, in_ch)
-        h = nn.GroupNorm(g, epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        h = GroupNorm(g, epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         h = nn.silu(h).astype(self.dtype)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv1")(h)
-        h = nn.GroupNorm(min(32, self.out_channels), epsilon=1e-6, dtype=self.dtype, name="norm2")(h)
+        h = GroupNorm(min(32, self.out_channels), epsilon=1e-6, dtype=self.dtype, name="norm2")(h)
         h = nn.silu(h).astype(self.dtype)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv2")(h)
@@ -53,7 +55,7 @@ class VAEAttentionBlock(nn.Module):
     def __call__(self, x):
         b, h, w, c = x.shape
         res = x
-        y = nn.GroupNorm(min(32, c), epsilon=1e-6, dtype=self.dtype, name="group_norm")(x)
+        y = GroupNorm(min(32, c), epsilon=1e-6, dtype=self.dtype, name="group_norm")(x)
         y = y.reshape(b, h * w, c).astype(self.dtype)
         q = nn.Dense(c, dtype=self.dtype, name="to_q")(y)
         k = nn.Dense(c, dtype=self.dtype, name="to_k")(y)
@@ -90,7 +92,7 @@ class Encoder(nn.Module):
         x = VAEResnetBlock(chs[-1], dtype=self.dtype, name="mid_resnets_0")(x)
         x = VAEAttentionBlock(chs[-1], dtype=self.dtype, name="mid_attn")(x)
         x = VAEResnetBlock(chs[-1], dtype=self.dtype, name="mid_resnets_1")(x)
-        x = nn.GroupNorm(min(32, x.shape[-1]), epsilon=1e-6, dtype=self.dtype,
+        x = GroupNorm(min(32, x.shape[-1]), epsilon=1e-6, dtype=self.dtype,
                          name="conv_norm_out")(x)
         x = nn.silu(x).astype(self.dtype)
         x = nn.Conv(2 * self.latent_channels, (3, 3), padding=1,
@@ -121,7 +123,7 @@ class Decoder(nn.Module):
                 x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
                 x = nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype,
                             name=f"up_blocks_{i}_upsamplers_0")(x)
-        x = nn.GroupNorm(min(32, x.shape[-1]), epsilon=1e-6, dtype=self.dtype,
+        x = GroupNorm(min(32, x.shape[-1]), epsilon=1e-6, dtype=self.dtype,
                          name="conv_norm_out")(x)
         x = nn.silu(x).astype(self.dtype)
         x = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
