@@ -97,10 +97,40 @@ def parse_xspace(path: str) -> List[Dict]:
     return planes
 
 
+# Async-start/done ops report their full async window, which OVERLAPS the
+# compute that hides them — summing them next to compute ops makes DMA look
+# like 90% of the step.  Program/while wrapper events likewise contain all
+# their children.  ``summarize_trace`` folds each class into one labeled row
+# so the compute breakdown stays readable (pass collapse=False for raw rows).
+_ASYNC_MARKERS = ("copy-start", "slice-start", "copy-done", "slice-done",
+                  "all-gather-start", "all-reduce-start", "all-gather-done",
+                  "all-reduce-done", "collective-permute-start",
+                  "collective-permute-done", "async-star", "async-done",
+                  "send-start", "recv-start", "send-done", "recv-done")
+
+
+def _bucket(name: str) -> str | None:
+    head = name.split(" = ", 1)[0]
+    if name.startswith("jit_") or name.startswith("jit__"):
+        return "[program wrapper (contains everything below)]"
+    if head.startswith("%while") or head.startswith("while"):
+        return "[while wrapper (contains its body ops)]"
+    if any(m in head for m in _ASYNC_MARKERS):
+        return "[async copies/collectives (overlapped with compute)]"
+    return None
+
+
 def summarize_trace(trace_dir: str, top: int = 25,
-                    plane_filter: str = "TPU") -> List[Tuple[str, float]]:
+                    plane_filter: str = "TPU",
+                    collapse: bool = True) -> List[Tuple[str, float]]:
     """Aggregate per-op-name time (ms) over the newest trace under
-    ``trace_dir``; returns [(op_name, total_ms)] sorted desc."""
+    ``trace_dir``; returns [(op_name, total_ms)] sorted desc.
+
+    With ``collapse`` (default), async copy/collective windows and
+    program/while wrapper events are folded into single labeled rows —
+    their durations overlap (or contain) real compute, so mixing them
+    into the per-op ranking misattributes the step time.
+    """
     files = sorted(glob.glob(
         os.path.join(trace_dir, "plugins/profile/*/*.xplane.pb")))
     if not files:
@@ -112,7 +142,10 @@ def summarize_trace(trace_dir: str, top: int = 25,
         names = plane["event_names"]
         for line in plane["lines"]:
             for mid, dur in line["events"]:
-                totals[names.get(mid, f"#{mid}")] += dur / 1e9
+                name = names.get(mid, f"#{mid}")
+                if collapse:
+                    name = _bucket(name) or name
+                totals[name] += dur / 1e9
     return sorted(totals.items(), key=lambda kv: -kv[1])[:top]
 
 
