@@ -26,6 +26,7 @@ import numpy as np
 from ..ops.attention import (attention_packed, attention_packed_neighbors,
                              multi_head_attention)
 from ..ops.fourier import timestep_embedding
+from .norms import GroupNorm
 
 Dtype = Any
 
@@ -58,7 +59,7 @@ class ResnetBlock2D(nn.Module):
         # breaks those chains and measured NET SLOWER end-to-end (r2:
         # 1.417 vs 1.371 s/frame) despite a fast kernel — see RESULTS.md
         g = min(self.groups, in_ch)
-        h = nn.GroupNorm(g, epsilon=self.eps, dtype=self.dtype,
+        h = GroupNorm(g, epsilon=self.eps, dtype=self.dtype,
                          name="norm1")(x)
         h = nn.silu(h).astype(self.dtype)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
@@ -66,7 +67,7 @@ class ResnetBlock2D(nn.Module):
         t = nn.Dense(self.out_channels, dtype=self.dtype,
                      name="time_emb_proj")(nn.silu(temb.astype(self.dtype)))
         h = h + t[:, None, None, :]
-        h = nn.GroupNorm(min(self.groups, self.out_channels), epsilon=self.eps,
+        h = GroupNorm(min(self.groups, self.out_channels), epsilon=self.eps,
                          dtype=self.dtype, name="norm2")(h)
         h = nn.silu(h).astype(self.dtype)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
@@ -423,7 +424,7 @@ class Transformer2DModel(nn.Module):
     ) -> jnp.ndarray:
         b, h, w, c = x.shape
         residual = x
-        hs = nn.GroupNorm(min(32, c), epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        hs = GroupNorm(min(32, c), epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         hs = hs.astype(self.dtype)
         hs = nn.Conv(self.in_channels, (1, 1), dtype=self.dtype, name="proj_in")(hs)
         hs = hs.reshape(b, h * w, c)

@@ -21,6 +21,8 @@ from typing import Any, Optional, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
+from .norms import GroupNorm
+
 from .layers import (
     Downsample2D,
     ResnetBlock2D,
@@ -317,7 +319,7 @@ class UNet2DConditionMultiview(nn.Module):
                 )(x, skips, temb, encoder_hidden_states)
             self.sow("intermediates", f"up_block_{i}_out", x)
 
-        x = nn.GroupNorm(min(32, x.shape[-1]), epsilon=1e-5, dtype=self.dtype,
+        x = GroupNorm(min(32, x.shape[-1]), epsilon=1e-5, dtype=self.dtype,
                          name="conv_norm_out")(x)
         x = nn.silu(x).astype(self.dtype)
         x = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
