@@ -58,10 +58,15 @@ class GroupNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
 
         spatial = tuple(range(1, x.ndim - 1))
-        xf = x.astype(jnp.float32)
-        # per-channel moments: lane-preserving reductions over spatial dims
-        mu_c = jnp.mean(xf, axis=spatial)                    # (B, C) f32
-        m2_c = jnp.mean(jnp.square(xf), axis=spatial)        # (B, C) f32
+        # per-channel moments: lane-preserving reductions over spatial dims.
+        # Reduce the bf16 input directly with f32 accumulation (exact: the
+        # bf16->f32 convert is value-preserving) so the f32 cast has ONE
+        # consumer (the square) and fuses into that reduce — a shared
+        # `x.astype(f32)` made XLA emit every producing conv twice (bf16 +
+        # f32 outputs), +50% write traffic at VAE image resolution.
+        mu_c = jnp.mean(x, axis=spatial, dtype=jnp.float32)  # (B, C) f32
+        m2_c = jnp.mean(jnp.square(x.astype(jnp.float32)),
+                        axis=spatial)                        # (B, C) f32
         # combine the tiny partials into per-group stats (exact: equal counts)
         b_ = mu_c.shape[0]
         mu_g = mu_c.reshape(b_, g, c // g).mean(-1)          # (B, G)
