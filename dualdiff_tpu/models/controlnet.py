@@ -73,6 +73,8 @@ class BEVControlNet(nn.Module):
     # IP-Adapter-style decoupled box cross-attn (reference box_adapter.py)
     use_box_adapter: bool = False
     remat: bool = False  # gradient checkpointing per block
+    remat_min_tokens: int = 0  # skip remat below this many spatial tokens
+    # (see UNet2DConditionMultiview.remat_min_tokens for rationale)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -267,26 +269,30 @@ class BEVControlNet(nn.Module):
         # --- 3/4. encoder ------------------------------------------------------
         res_stack = [x]
         import flax.linen as _nn
-        rm = (lambda cls: _nn.remat(cls, prevent_cse=False)) if self.remat \
-            else (lambda cls: cls)
+        def rm(cls, tokens):
+            if self.remat and tokens >= self.remat_min_tokens:
+                return _nn.remat(cls, prevent_cse=False)
+            return cls
         tx = dict(heads=self.heads, cross_attention_dim=self.cross_attention_dim,
                   n_cam=N, box_adapter=self.use_box_adapter,
                   num_box_tokens=num_box_tokens if self.use_box_adapter else 0,
                   dtype=self.dtype)
         for i, ch in enumerate(chs):
             is_final = i == len(chs) - 1
+            tok = x.shape[1] * x.shape[2]
             if not is_final:
-                x, res = rm(CrossAttnDownBlock2D)(
+                x, res = rm(CrossAttnDownBlock2D, tok)(
                     ch, num_layers=self.layers_per_block, add_downsample=True,
                     **tx, name=f"down_blocks_{i}",
                 )(x, emb, kv_internal)
             else:
-                x, res = rm(DownBlock2D)(
+                x, res = rm(DownBlock2D, tok)(
                     ch, num_layers=self.layers_per_block, add_downsample=False,
                     dtype=self.dtype, name=f"down_blocks_{i}",
                 )(x, emb)
             res_stack += list(res)
-        x = rm(UNetMidBlock2DCrossAttn)(chs[-1], **tx, name="mid_block")(
+        x = rm(UNetMidBlock2DCrossAttn, x.shape[1] * x.shape[2])(
+            chs[-1], **tx, name="mid_block")(
             x, emb, kv_internal)
 
         # --- 5. zero-conv heads --------------------------------------------------

@@ -229,6 +229,12 @@ class UNet2DConditionMultiview(nn.Module):
     num_frames: int = 1
     lora_rank: int = 0  # RGD stage-2 LoRA fine-tuning
     remat: bool = False  # gradient checkpointing per block
+    # Skip remat for blocks whose spatial token count is below this: deep
+    # low-res activations are small (positions shrink 4x per level while
+    # channels only double), so storing them costs little HBM but saving
+    # them skips that block's full forward replay in the backward pass.
+    # 0 = remat every block (the always-fits default).
+    remat_min_tokens: int = 0
     dtype: Dtype = jnp.float32
 
     def _tx_kwargs(self, n_cam: int):
@@ -255,8 +261,10 @@ class UNet2DConditionMultiview(nn.Module):
     ) -> jnp.ndarray:
         chs = list(self.block_out_channels)
         tx = self._tx_kwargs(n_cam)
-        rm = (lambda cls: nn.remat(cls, prevent_cse=False)) if self.remat \
-            else (lambda cls: cls)
+        def rm(cls, tokens):
+            if self.remat and tokens >= self.remat_min_tokens:
+                return nn.remat(cls, prevent_cse=False)
+            return cls
 
         t_emb = get_timestep_embedding(timesteps, chs[0])
         temb = TimestepEmbedding(chs[0] * 4, dtype=self.dtype,
@@ -269,13 +277,14 @@ class UNet2DConditionMultiview(nn.Module):
         # down
         for i, ch in enumerate(chs):
             is_final = i == len(chs) - 1
+            tok = x.shape[1] * x.shape[2]
             if not is_final:
-                x, res = rm(CrossAttnDownBlock2D)(
+                x, res = rm(CrossAttnDownBlock2D, tok)(
                     ch, num_layers=self.layers_per_block, add_downsample=True,
                     **tx, name=f"down_blocks_{i}",
                 )(x, temb, encoder_hidden_states)
             else:
-                x, res = rm(DownBlock2D)(
+                x, res = rm(DownBlock2D, tok)(
                     ch, num_layers=self.layers_per_block, add_downsample=False,
                     dtype=self.dtype, name=f"down_blocks_{i}",
                 )(x, temb)
@@ -291,7 +300,8 @@ class UNet2DConditionMultiview(nn.Module):
             ]
 
         # mid
-        x = rm(UNetMidBlock2DCrossAttn)(chs[-1], **tx, name="mid_block")(
+        x = rm(UNetMidBlock2DCrossAttn, x.shape[1] * x.shape[2])(
+            chs[-1], **tx, name="mid_block")(
             x, temb, encoder_hidden_states)
         if mid_block_additional_residual is not None:
             x = x + mid_block_additional_residual.astype(x.dtype)
@@ -305,14 +315,15 @@ class UNet2DConditionMultiview(nn.Module):
             skips = tuple(res_stack[-n_lay:][::-1])
             del res_stack[-n_lay:]
             target = res_stack[-1].shape[1:3] if res_stack else None
+            tok = x.shape[1] * x.shape[2]
             if i == 0:
-                x = rm(UpBlock2D)(
+                x = rm(UpBlock2D, tok)(
                     ch, num_layers=n_lay, upsample_target=target,
                     add_upsample=not is_final, dtype=self.dtype,
                     name=f"up_blocks_{i}",
                 )(x, skips, temb)
             else:
-                x = rm(CrossAttnUpBlock2D)(
+                x = rm(CrossAttnUpBlock2D, tok)(
                     ch, num_layers=n_lay, upsample_target=target,
                     add_upsample=not is_final, **tx,
                     name=f"up_blocks_{i}",

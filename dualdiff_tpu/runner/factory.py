@@ -68,6 +68,7 @@ def build_models(cfg, tiny: bool = False) -> Dict:
         lora_rank=int(cfg.video.lora_rank)
         if (video and cfg.video.rgd.enable) else 0,
         remat=bool(cfg.runner.enable_unet_checkpointing),
+        remat_min_tokens=int(cfg.runner.get("remat_min_tokens", 0)),
         dtype=dtype,
     )
 
@@ -96,6 +97,7 @@ def build_models(cfg, tiny: bool = False) -> Dict:
                 c.bbox_embedder_param.class_token_dim),
             use_box_adapter=bool(cfg.use_box_adapter),
             remat=bool(cfg.runner.enable_controlnet_checkpointing),
+            remat_min_tokens=int(cfg.runner.get("remat_min_tokens", 0)),
             dtype=dtype,
         ))
 

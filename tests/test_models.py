@@ -114,6 +114,32 @@ def test_unet_forward_and_multiview_zero_init(keys):
         np.asarray(out_mv), np.asarray(out_plain), atol=1e-5)
 
 
+def test_unet_selective_remat_equivalence(keys):
+    """remat_min_tokens changes only WHAT is rematerialized, never the math:
+    loss and grads must match the full-remat graph exactly (same ops, same
+    order — remat replays identical FLOPs)."""
+    sample, t, ehs = _unet_inputs(keys)
+
+    def loss_for(min_tokens):
+        m = _unet(True, remat=True, remat_min_tokens=min_tokens)
+        params = m.init(keys[2], sample, t, ehs, n_cam=N_CAM)
+
+        def loss(p):
+            return jnp.mean(m.apply(p, sample, t, ehs, n_cam=N_CAM) ** 2)
+
+        val, grads = jax.value_and_grad(loss)(params)
+        return val, grads
+
+    # threshold above every level's token count => nothing remats
+    v0, g0 = loss_for(0)
+    v1, g1 = loss_for(10 ** 9)
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+        g0, g1)
+
+
 def test_unet_controlnet_residual_plumbing(keys):
     sample, t, ehs = _unet_inputs(keys)
     mv = _unet(True)

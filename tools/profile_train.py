@@ -25,7 +25,8 @@ import numpy as np
 
 
 def main():
-    trace_dir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("-") \
+    trace_dir = sys.argv[1] if len(sys.argv) > 1 \
+        and not sys.argv[1].startswith("-") and "=" not in sys.argv[1] \
         else "/tmp/dualdiff_train_trace"
     argv = sys.argv
     top = int(argv[argv.index("--top") + 1]) if "--top" in argv else 40
@@ -45,13 +46,14 @@ def main():
     # fixed overrides = stable LR-schedule constants in the step HLO = warm
     # compilation-cache hits across reruns (CLAUDE.md: changing
     # max_train_steps forces a ~12 min remote recompile)
+    extra = [a for a in argv[1:] if "=" in a and not a.startswith("-")]
     cfg = load_config("configs", overrides=[
         "+exp=dual_branch_augloss_fusion",
         "dataset=Nuscenes_synthetic",
         "dataset.num_samples=4",
         "runner.max_train_steps=1000",
         "runner.num_workers=0",
-    ])
+    ] + extra)
     ds = build_dataset(cfg, "train")
     print("# building trainer (init params on device)...", flush=True)
     trainer = MultiviewTrainer(cfg, ds, tiny=False)
