@@ -18,11 +18,14 @@ import functools
 import gzip
 import hashlib
 import json
+import logging
 import os
 import re
 from typing import List, Optional, Sequence
 
 import numpy as np
+
+log = logging.getLogger(__name__)
 
 __all__ = ["CLIPBPETokenizer", "HashTokenizer", "build_tokenizer"]
 
@@ -52,12 +55,25 @@ def _basic_clean(text: str) -> str:
     return re.sub(r"\s+", " ", text.strip()).lower()
 
 
-_PAT = re.compile(
-    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"
-    if False
-    else r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+",
-    re.IGNORECASE,
-)
+# CLIP's split pattern uses unicode classes \p{L}/\p{N} (HF CLIPTokenizer /
+# openai simple_tokenizer; reference magicdrive/dataset/utils.py:30-57).
+# stdlib `re` cannot express \p{..}; prefer the `regex` module for exact
+# parity and fall back to the closest stdlib approximation ([^\W\d_] is the
+# unicode-letter class; \d covers \p{Nd} but not the rare Nl/No chars).
+try:
+    import regex as _regex
+
+    _PAT = _regex.compile(
+        r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+        r"|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+",
+        _regex.IGNORECASE,
+    )
+except ImportError:  # pragma: no cover - regex is available in this env
+    _PAT = re.compile(
+        r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+        r"|[^\W\d_]+|\d|(?:[^\s\w]|_)+",
+        re.IGNORECASE | re.UNICODE,
+    )
 
 
 class CLIPBPETokenizer:
@@ -153,13 +169,29 @@ def _batch(tok, texts, max_length: int) -> np.ndarray:
     return out
 
 
-def build_tokenizer(pretrained_path: Optional[str] = None):
+def build_tokenizer(pretrained_path: Optional[str] = None,
+                    require_real: bool = False):
     """Prefer real CLIP BPE assets (``vocab.json`` + ``merges.txt`` under
-    ``<path>/tokenizer`` or ``<path>``); fall back to the hash tokenizer."""
+    ``<path>/tokenizer`` or ``<path>``); fall back to the hash tokenizer.
+
+    The fallback is LOUD: real-data training on hash tokens silently destroys
+    text conditioning, so callers training on non-synthetic datasets should
+    pass ``require_real=True`` (gated by cfg ``allow_fallback_assets``)."""
     for base in filter(None, [pretrained_path]):
         for sub in ("tokenizer", "."):
             vocab = os.path.join(base, sub, "vocab.json")
             merges = os.path.join(base, sub, "merges.txt")
             if os.path.exists(vocab) and os.path.exists(merges):
                 return CLIPBPETokenizer(vocab, merges)
+    if require_real:
+        raise FileNotFoundError(
+            "CLIP tokenizer assets (vocab.json + merges.txt) not found under "
+            f"{pretrained_path!r}. Training on a real dataset with the hash "
+            "fallback tokenizer would silently corrupt text conditioning; "
+            "point model.pretrained_model_name_or_path at real SD v1.5 "
+            "assets, or set allow_fallback_assets=true to proceed anyway.")
+    log.warning(
+        "CLIP tokenizer assets not found under %r — using the deterministic "
+        "HashTokenizer fallback. Fine for synthetic smoke/bench runs; real "
+        "training/eval needs real assets.", pretrained_path)
     return HashTokenizer()

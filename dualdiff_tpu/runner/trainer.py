@@ -323,10 +323,17 @@ class MultiviewTrainer:
         self.cfg = cfg
         self.train_set = train_set
         self.val_set = val_set
+        # real-dataset training must not silently run on the hash-fallback
+        # tokenizer (VERDICT r3: asset degradation must be loud + guarded);
+        # built before the models so the guard fails fast
+        synthetic = str(cfg.dataset.get("dataset_type", "")) \
+            == "SyntheticNuScenes"
+        self.tokenizer = build_tokenizer(
+            str(cfg.model.pretrained_model_name_or_path),
+            require_real=not synthetic
+            and not bool(cfg.get("allow_fallback_assets", False)))
         self.models = build_models(cfg, tiny=tiny)
         self.schedule = DiffusionSchedule.create()
-        self.tokenizer = build_tokenizer(
-            str(cfg.model.pretrained_model_name_or_path))
         h, w = cfg.dataset.image_size
         self.latent_hw = (h // 8, w // 8)
         # ORS intrinsics frame (reference occ3d_proj.py:144 pins 896x1600 —

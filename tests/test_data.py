@@ -23,9 +23,54 @@ def test_hash_tokenizer_deterministic_and_shaped():
     assert ids[0, first_eos] == EOS
 
 
-def test_build_tokenizer_falls_back():
-    tok = build_tokenizer("/nonexistent/path")
+def test_build_tokenizer_falls_back_with_warning(caplog):
+    import logging
+
+    with caplog.at_level(logging.WARNING, "dualdiff_tpu.data.tokenizer"):
+        tok = build_tokenizer("/nonexistent/path")
     assert isinstance(tok, HashTokenizer)
+    assert any("HashTokenizer fallback" in r.message for r in caplog.records)
+
+
+def test_build_tokenizer_require_real_raises():
+    with pytest.raises(FileNotFoundError, match="allow_fallback_assets"):
+        build_tokenizer("/nonexistent/path", require_real=True)
+
+
+def test_trainer_refuses_fallback_tokenizer_on_real_dataset():
+    """Non-synthetic training with missing CLIP assets fails fast (before
+    any model build) unless allow_fallback_assets=true."""
+    from dualdiff_tpu.runner.trainer import MultiviewTrainer
+
+    cfg = load_config(CONFIG_DIR, overrides=[
+        "+exp=224x400", "dataset=Nuscenes",
+        "model.pretrained_model_name_or_path=/nonexistent/sd15"])
+    with pytest.raises(FileNotFoundError, match="allow_fallback_assets"):
+        MultiviewTrainer(cfg, train_set=None, tiny=True)
+
+
+def test_clip_split_pattern_parity():
+    """CLIP's \\p{L}/\\p{N} split semantics (HF CLIPTokenizer pattern;
+    reference magicdrive/dataset/utils.py:30-57) on contractions,
+    punctuation, and non-ASCII letters."""
+    from dualdiff_tpu.data.tokenizer import _PAT, _basic_clean
+
+    cases = {
+        # contraction suffixes split off
+        "can't stop, won't stop!":
+            ["can", "'t", "stop", ",", "won", "'t", "stop", "!"],
+        # non-ASCII letters are ONE letter-run, not punctuation islands
+        "café straße kyoto":
+            ["café", "straße", "kyoto"],
+        # digits split one at a time; punctuation runs group
+        "exit 42 -- now":
+            ["exit", "4", "2", "--", "now"],
+        "it's we've i'll they'd i'm you're":
+            ["it", "'s", "we", "'ve", "i", "'ll", "they", "'d",
+             "i", "'m", "you", "'re"],
+    }
+    for text, want in cases.items():
+        assert _PAT.findall(_basic_clean(text)) == want, text
 
 
 def test_synthetic_schema():

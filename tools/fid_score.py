@@ -79,10 +79,16 @@ def _load_batch(paths, size, transform=None):
     return np.stack(ims)
 
 
-def build_extractor(weights_dir="pretrained"):
+def build_extractor(weights_dir="pretrained", require_real=False):
     model = InceptionV3()
     pth = os.path.join(weights_dir, "pt_inception-2015-12-05.pth")
     ckpt = os.path.join(weights_dir, "inception_fid.ckpt")
+    if require_real and not (os.path.exists(pth) or os.path.exists(ckpt)):
+        raise FileNotFoundError(
+            f"FID inception weights not found under {weights_dir!r} "
+            "(pt_inception-2015-12-05.pth or inception_fid.ckpt). A real-"
+            "dataset FID on random-init features is meaningless; provide the "
+            "asset or set allow_fallback_assets=true to proceed anyway.")
     if os.path.exists(pth):
         import torch
 
@@ -207,7 +213,11 @@ def main(argv=None):
     transform = partial(train_matching_transform,
                         resize_ratio=resize_ratio,
                         target_hw=tuple(cfg.dataset.image_size))
-    extract, size, label = build_extractor()
+    synthetic = str(cfg.dataset.get("dataset_type", "")) \
+        == "SyntheticNuScenes"
+    extract, size, label = build_extractor(
+        require_real=not synthetic
+        and not bool(cfg.get("allow_fallback_assets", False)))
     a = activations_for_paths(reals, extract, size, transform=transform)
     b = activations_for_paths(gens, extract, size, transform=transform)
     fid = fid_from_activations(a, b)
