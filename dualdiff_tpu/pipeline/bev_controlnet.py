@@ -57,14 +57,30 @@ class BEVControlNetPipeline:
                 "pipeline_param.cn_cache_interval>1 requires "
                 "sequential_cfg=false (the cached CN residuals are computed "
                 "on the full CFG batch)")
-        self._generate = jax.jit(functools.partial(
-            self._generate_impl,
+        # jitted-generate cache keyed by the override tuple: repeated
+        # overridden calls (validator sweeps etc.) reuse the compiled
+        # executable instead of paying a full retrace per call (VERDICT r3)
+        self._jit_cache: Dict[Tuple, object] = {}
+        self._generate = self._jit_for(
             num_inference_steps=int(pp.num_inference_steps),
             guidance_scale=float(pp.guidance_scale),
             scheduler=str(pp.get("scheduler", "unipc")),
-            conditioning_scale=float(pp.controlnet_conditioning_scale),
-        ), static_argnames=("num_inference_steps", "guidance_scale",
-                            "scheduler", "conditioning_scale"))
+            conditioning_scale=float(pp.controlnet_conditioning_scale))
+
+    def _jit_for(self, *, num_inference_steps: int, guidance_scale: float,
+                 scheduler: str, conditioning_scale: float):
+        key = (num_inference_steps, guidance_scale, scheduler,
+               conditioning_scale)
+        gen = self._jit_cache.get(key)
+        if gen is None:
+            gen = jax.jit(functools.partial(
+                self._generate_impl,
+                num_inference_steps=num_inference_steps,
+                guidance_scale=guidance_scale,
+                scheduler=scheduler,
+                conditioning_scale=conditioning_scale))
+            self._jit_cache[key] = gen
+        return gen
 
     # ------------------------------------------------------------------
     def set_params(self, params: Dict) -> None:
@@ -99,20 +115,16 @@ class BEVControlNetPipeline:
                 "pipeline params were released; call set_params() first")
         tensors = prepare_batch(batch) if "branches" in batch else batch
         if overrides:
-            gen = jax.jit(functools.partial(
-                self._generate_impl, **{
-                    "num_inference_steps": int(overrides.get(
-                        "num_inference_steps",
-                        self.cfg.runner.pipeline_param.num_inference_steps)),
-                    "guidance_scale": float(overrides.get(
-                        "guidance_scale",
-                        self.cfg.runner.pipeline_param.guidance_scale)),
-                    "scheduler": str(overrides.get(
-                        "scheduler",
-                        self.cfg.runner.pipeline_param.get("scheduler", "unipc"))),
-                    "conditioning_scale": float(overrides.get(
-                        "conditioning_scale", 1.0)),
-                }), static_argnames=())
+            pp = self.cfg.runner.pipeline_param
+            gen = self._jit_for(
+                num_inference_steps=int(overrides.get(
+                    "num_inference_steps", pp.num_inference_steps)),
+                guidance_scale=float(overrides.get(
+                    "guidance_scale", pp.guidance_scale)),
+                scheduler=str(overrides.get(
+                    "scheduler", pp.get("scheduler", "unipc"))),
+                conditioning_scale=float(overrides.get(
+                    "conditioning_scale", 1.0)))
             return gen(self.params, tensors, rng, conditional_latents,
                        conditional_mask)
         return self._generate(self.params, tensors, rng, conditional_latents,

@@ -325,9 +325,17 @@ class MultiviewTrainer:
         self.val_set = val_set
         # real-dataset training must not silently run on the hash-fallback
         # tokenizer (VERDICT r3: asset degradation must be loud + guarded);
-        # built before the models so the guard fails fast
-        synthetic = str(cfg.dataset.get("dataset_type", "")) \
-            == "SyntheticNuScenes"
+        # built before the models so the guard fails fast.  "synthetic" is
+        # judged on the actual dataset object when one is passed (tests/tools
+        # hand a SyntheticNuScenes directly under a Nuscenes cfg)
+        from ..data.synthetic import SyntheticNuScenes
+
+        synthetic = (str(cfg.dataset.get("dataset_type", ""))
+                     == "SyntheticNuScenes"
+                     or any(isinstance(x, SyntheticNuScenes) for x in (
+                         train_set,
+                         getattr(train_set, "dataset", None),
+                         getattr(train_set, "frames", None))))
         self.tokenizer = build_tokenizer(
             str(cfg.model.pretrained_model_name_or_path),
             require_real=not synthetic
