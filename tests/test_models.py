@@ -234,6 +234,46 @@ def test_controlnet_view_shared_boxes(keys, cn_setup):
     assert kv.shape == (2 * N_CAM, 28, 96)
 
 
+def test_controlnet_box_adapter_non77_text(keys):
+    """The box/cls token split is derived from the actual text length, not a
+    hardcoded 77 (reference CLIP model_max_length).  With the adapter on and
+    L=20, the returned UNet KV must strip exactly the 7 cls tokens
+    (reference unet_addon_rawbox.py:1066-1069)."""
+    m = BEVControlNet(
+        block_out_channels=TINY["block_out_channels"],
+        layers_per_block=1, heads=4, cross_attention_dim=96,
+        camera_out_dim=96,
+        conditioning_embedding_out_channels=(4, 8, 8, 8),
+        cond_embedder="bev_map",
+        bbox_proj_dims=(96, 64, 64, 96), bbox_class_token_dim=96,
+        use_box_adapter=True,
+    )
+    B, L, n_box = 2, 20, 7
+    sample = jax.random.normal(keys[0], (B, N_CAM, 28, 50, 4))
+    t = jnp.full((B,), 100, jnp.int32)
+    cam = jax.random.normal(keys[1], (B, N_CAM, 3, 7))
+    ehs = jax.random.normal(keys[2], (B, L, 96))
+    cond = jax.random.normal(keys[3], (B, 200, 200, 8))
+    boxes = {
+        "bboxes": jax.random.normal(keys[4], (B, N_CAM, n_box, 8, 3)),
+        "classes": jnp.zeros((B, N_CAM, n_box), jnp.int32),
+        "masks": jnp.ones((B, N_CAM, n_box)),
+    }
+    params = m.init(keys[5], sample, t, cam, ehs, cond, boxes)
+    downs, mid, kv = m.apply(params, sample, t, cam, ehs, cond, boxes)
+    # UNet KV = cam + text + box (cls tokens stripped)
+    assert kv.shape == (B * N_CAM, 1 + L + n_box, 96)
+    # precomputed path agrees (the pipeline's step-constant hoist)
+    pre = m.apply(params, sample, t, cam, ehs, cond, boxes,
+                  precompute_only=True)
+    assert pre["kv"].shape[1] == 1 + L + 2 * n_box  # internal KV keeps cls
+    downs2, mid2, kv2 = m.apply(params, sample, t, cam, ehs, cond,
+                                precomputed=pre)
+    assert kv2.shape == kv.shape
+    np.testing.assert_allclose(np.asarray(kv2), np.asarray(kv), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(mid2), np.asarray(mid), atol=1e-6)
+
+
 def test_vae_roundtrip_shapes(keys):
     vae = AutoencoderKL(block_out_channels=(8, 16, 16, 16), layers_per_block=1)
     x = jax.random.normal(keys[0], (2, 32, 32, 3))

@@ -107,6 +107,51 @@ def test_pipeline_generate_and_given_view(vanilla, ds):
     assert np.abs(np.asarray(imgs2) - arr).max() > 1e-6
 
 
+def test_conditioning_cache_matches_uncached_step(ds, tmp_path_factory):
+    """runner.cache_conditioning precomputes VAE moments + ORS rays per
+    (sample, flip) and the step consumes them: the loss stream matches the
+    fused step bit-for-bit (same rng draw shapes), and repeated epochs serve
+    conditioning from the host cache without re-running the precompute."""
+    cfg = _cfg("dual_branch_augloss_fusion",
+               extra=("dataset.augment3d.flip_ratio=0.5",))
+    cfg.log_root = str(tmp_path_factory.mktemp("cache_off"))
+    t_off = MultiviewTrainer(cfg, ds, tiny=True)
+
+    cfg2 = _cfg("dual_branch_augloss_fusion",
+                extra=("dataset.augment3d.flip_ratio=0.5",
+                       "runner.cache_conditioning=true"))
+    cfg2.log_root = str(tmp_path_factory.mktemp("cache_on"))
+    t_on = MultiviewTrainer(cfg2, ds, tiny=True)
+    assert t_on.cache_cond
+
+    # identical init (same seed) => identical params; run the same batch
+    # sequence through both steps
+    m_off = t_off.run(max_steps=2)
+    m_on = t_on.run(max_steps=2)
+    np.testing.assert_allclose(m_on["loss"], m_off["loss"], rtol=2e-4)
+
+    # epoch repeat: every (sample, flip) pair seen again is served from the
+    # cache — count precompute invocations
+    calls = {"n": 0}
+    real = t_on._precompute
+
+    def counting(frozen, batch):
+        calls["n"] += 1
+        return real(frozen, batch)
+
+    t_on._precompute = counting
+    batches1 = list(t_on._batches(epoch=7))
+    n_after_first = calls["n"]
+    batches2 = list(t_on._batches(epoch=7))  # same plan → same (idx, flip)
+    assert calls["n"] == n_after_first  # all served from cache
+    for b1, b2 in zip(batches1, batches2):
+        np.testing.assert_array_equal(b1["latent_moments"],
+                                      b2["latent_moments"])
+        assert "pixel_values" not in b1  # no tone loss → pixels dropped
+        assert "occ_labels" not in b1  # ORS precomputed
+        assert b1["ors_rays"].dtype == np.int8
+
+
 def test_pipeline_override_calls_memoized(vanilla, ds):
     """An overridden __call__ compiles once per distinct override tuple;
     repeat calls reuse the jitted executable instead of retracing
