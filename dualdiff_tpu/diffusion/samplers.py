@@ -147,7 +147,15 @@ def unipc_sample(
         deltas are separable during FID parity debugging (PARITY "known
         gaps"; VERDICT r2 weak #6).
     """
-    assert order == 2, "only order-2 UniPC implemented (the reference default)"
+    if order != 2:
+        # config error, not an assert: asserts vanish under python -O and a
+        # user setting runner.pipeline_param.solver_order deserves a clear
+        # message (the reference exposes solver_order on
+        # UniPCMultistepScheduler; its DualDiff configs always use 2)
+        raise ValueError(
+            f"solver_order={order} is not supported: this UniPC "
+            "implementation is order-2 (bh2 + corrector), the reference "
+            "default. Use solver_order=2 or scheduler=ddim.")
     if final_sigma not in ("zero", "default", "sigma_min"):
         raise ValueError(f"unknown final_sigma {final_sigma!r}")
     n = num_inference_steps

@@ -357,6 +357,8 @@ class BEVControlNetPipeline:
             lat = unipc_sample(
                 self.schedule, fn, lat0,
                 num_inference_steps=num_inference_steps,
+                order=int(self.cfg.runner.pipeline_param.get(
+                    "solver_order", 2)),
                 model_state0=state0,
                 # reference-exact old-diffusers stepping is opt-in
                 # (pipeline_param.unipc_final_sigma=default) so sampler

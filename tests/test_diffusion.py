@@ -96,6 +96,17 @@ def test_unipc_recovers_point_mass(sched, rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(x0_true), atol=0.05)
 
 
+def test_unipc_unsupported_order_is_config_error(sched, rng):
+    """solver_order != 2 raises a clear ValueError (not an assert that
+    vanishes under -O); the reference exposes solver_order on its scheduler
+    but DualDiff always runs order 2."""
+    x0_true = jnp.array([[0.5, -1.2, 2.0, 0.0]])
+    model_fn = _exact_eps_model(x0_true, sched)
+    xT = jax.random.normal(rng, x0_true.shape)
+    with pytest.raises(ValueError, match="solver_order=3"):
+        unipc_sample(sched, model_fn, xT, num_inference_steps=20, order=3)
+
+
 def test_unipc_final_sigma_modes(sched, rng):
     """final_sigma='default' reproduces OLD-diffusers UniPC stepping (the
     reference's scheduler): the last predictor steps to train-timestep 0,

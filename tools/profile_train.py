@@ -9,8 +9,8 @@ traces one step and aggregates device op time with the pure-python XPlane
 reader — the training half of the "where did the second go" tooling
 (SURVEY.md §5; generation half: tools/profile_gen.py).
 
-Usage:  python tools/profile_train.py [trace_dir] [--top N] [--steps N]
-        [--no-trace]
+Usage:  python tools/profile_train.py [trace_dir | --trace-dir DIR]
+        [--top N] [--steps N] [--no-trace] [cfg.key=value ...]
 """
 
 import json
@@ -25,10 +25,23 @@ import numpy as np
 
 
 def main():
-    trace_dir = sys.argv[1] if len(sys.argv) > 1 \
-        and not sys.argv[1].startswith("-") and "=" not in sys.argv[1] \
-        else "/tmp/dualdiff_train_trace"
     argv = sys.argv
+    if "--trace-dir" in argv:
+        trace_dir = argv[argv.index("--trace-dir") + 1]
+    elif len(argv) > 1 and not argv[1].startswith("-") \
+            and "=" not in argv[1]:
+        trace_dir = argv[1]
+    else:
+        trace_dir = "/tmp/dualdiff_train_trace"
+        if len(argv) > 1 and "=" in argv[1] and "." not in \
+                argv[1].split("=")[0]:
+            # a positional path containing '=' would be silently treated as
+            # a config override (ADVICE r3) — overrides are dotted keys, so
+            # an '='-bearing first arg without a dot is almost certainly a
+            # mis-typed path
+            print(f"# WARNING: treating argv[1] {argv[1]!r} as a config "
+                  "override, not a trace dir; use --trace-dir to be "
+                  "explicit", file=sys.stderr)
     top = int(argv[argv.index("--top") + 1]) if "--top" in argv else 40
     nsteps = int(argv[argv.index("--steps") + 1]) if "--steps" in argv else 10
     do_trace = "--no-trace" not in argv
@@ -46,7 +59,8 @@ def main():
     # fixed overrides = stable LR-schedule constants in the step HLO = warm
     # compilation-cache hits across reruns (CLAUDE.md: changing
     # max_train_steps forces a ~12 min remote recompile)
-    extra = [a for a in argv[1:] if "=" in a and not a.startswith("-")]
+    extra = [a for a in argv[1:] if "=" in a and not a.startswith("-")
+             and a != trace_dir]
     cfg = load_config("configs", overrides=[
         "+exp=dual_branch_augloss_fusion",
         "dataset=Nuscenes_synthetic",
