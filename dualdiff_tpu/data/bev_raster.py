@@ -20,9 +20,19 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 __all__ = [
-    "MAP_CLASSES", "OBJECT_CLASSES", "BEVRasterizer",
+    "MAP_CLASSES", "OBJECT_CLASSES", "AUX_DATA_CH", "BEVRasterizer",
     "bottom_corners_from_boxes7d", "extract_map_geoms",
 ]
+
+# auxiliary per-pixel object channels (reference ``pipeline.py:43-48``);
+# channel count per kind, laid out in the order of the dataset's
+# ``aux_data`` config list
+AUX_DATA_CH = {
+    "visibility": 1,
+    "center_offset": 2,
+    "center_ohw": 4,
+    "height": 1,
+}
 
 MAP_CLASSES = [
     "drivable_area", "ped_crossing", "walkway", "stop_line",
@@ -193,6 +203,84 @@ class BEVRasterizer:
                              np.asarray(labels, np.int64)):
             if 0 <= lab < len(self.object_classes):
                 cv2.fillPoly(out[base + lab], [self.lidar_to_canvas(poly)], 1)
+        return out
+
+    def aux_channels(self, aux_data: Sequence[str]) -> int:
+        return sum(AUX_DATA_CH[a] for a in aux_data)
+
+    def lidar_to_canvas_f(self, pts: np.ndarray) -> np.ndarray:
+        """(N, 2) lidar xy [m] -> (N, 2) float (row, col) canvas coords
+        (continuous — the aux vectors are measured in these units)."""
+        pts = np.asarray(pts, np.float64)
+        rows = (pts[:, 0] - self.xbound[0]) / self.xbound[2]
+        cols = (pts[:, 1] - self.ybound[0]) / self.ybound[2]
+        return np.stack([rows, cols], 1)
+
+    def rasterize_aux(
+        self,
+        boxes7d: np.ndarray,
+        visibility: Optional[np.ndarray] = None,
+        aux_data: Sequence[str] = ("visibility", "center_offset",
+                                   "center_ohw", "height"),
+    ) -> np.ndarray:
+        """Class-agnostic per-pixel object aux channels
+        (reference ``_get_dynamic_aux_bbox``, ``pipeline.py:88-174``):
+
+        * ``visibility`` (1): the box's nuScenes visibility level;
+        * ``center_offset`` (2): pixel - box-bottom-center, canvas units,
+          components (row ~ lidar x, col ~ lidar y);
+        * ``center_ohw`` (4): |center->front-mid|, |center->left-mid| in
+          canvas units + the unit center->front direction (row, col);
+        * ``height`` (1): the box's 3D height [m].
+
+        Boxes fill in order (later boxes overwrite overlaps, like the
+        reference's per-instance loop).  Returns (C_aux, H, W) float32.
+        """
+        import cv2
+
+        from ..ops.boxes import box_corners
+
+        h, w = self.canvas_size
+        out = np.zeros((self.aux_channels(aux_data), h, w), np.float32)
+        boxes7d = np.asarray(boxes7d, np.float64)
+        if len(boxes7d) == 0:
+            return out
+        corners = box_corners(boxes7d)  # (M, 8, 3); index = 4x + 2y + z
+        bottom = corners[:, [0, 2, 6, 4], :2]  # bottom-face cycle
+        center = boxes7d[:, :2]  # origin (0.5, 0.5, 0) => xy IS bottom center
+        front_mid = corners[:, [4, 6], :2].mean(1)  # +x bottom edge
+        left_mid = corners[:, [2, 6], :2].mean(1)  # +y bottom edge
+        rr, cc = np.meshgrid(np.arange(h, dtype=np.float32),
+                             np.arange(w, dtype=np.float32), indexing="ij")
+        for i in range(len(boxes7d)):
+            stamp = np.zeros((h, w), np.uint8)
+            cv2.fillPoly(stamp, [self.lidar_to_canvas(bottom[i])], 1)
+            m = stamp > 0
+            if not m.any():
+                continue
+            c = self.lidar_to_canvas_f(center[i: i + 1])[0]
+            f = self.lidar_to_canvas_f(front_mid[i: i + 1])[0]
+            l = self.lidar_to_canvas_f(left_mid[i: i + 1])[0]
+            ch = 0
+            if "visibility" in aux_data:
+                out[ch][m] = float(visibility[i]) \
+                    if visibility is not None else 0.0
+                ch += 1
+            if "center_offset" in aux_data:
+                out[ch][m] = rr[m] - c[0]
+                out[ch + 1][m] = cc[m] - c[1]
+                ch += 2
+            if "center_ohw" in aux_data:
+                fv = f - c
+                nrm = np.linalg.norm(fv)
+                v = fv / (nrm + 1e-6)
+                vals = (nrm, np.linalg.norm(l - c), v[0], v[1])
+                for k, val in enumerate(vals):
+                    out[ch + k][m] = val
+                ch += 4
+            if "height" in aux_data:
+                out[ch][m] = boxes7d[i, 5]
+                ch += 1
         return out
 
     def rasterize(

@@ -64,6 +64,7 @@ class NuScenesDataset:
         missing_bev: str = "error",  # error | zeros
         load_bev: bool = True,
         point_cloud_range: Optional[Sequence[float]] = None,
+        aux_data: Optional[Sequence[str]] = None,
     ):
         with open(ann_file, "rb") as f:
             data = pickle.load(f)
@@ -88,9 +89,11 @@ class NuScenesDataset:
         self.load_bev = load_bev
         self.point_cloud_range = (
             None if point_cloud_range is None else list(point_cloud_range))
+        self.aux_data = list(aux_data or [])
         self._h5 = None
         self._nusc_maps = {}  # location -> NuScenesMap (live-raster path)
         self._live_memo = {}  # token -> (C, 200, 200) uint8
+        self._aux_memo = {}  # token -> (C_aux, 200, 200) f32
         self._warned_zero_bev = False
 
     def __len__(self) -> int:
@@ -209,6 +212,31 @@ class NuScenesDataset:
         self._live_memo[token] = out
         return out
 
+    def _bev_aux(self, info: Dict, boxes7d: np.ndarray) -> np.ndarray:
+        """7-ch object aux raster (visibility/center_offset/center_ohw/
+        height — reference ``pipeline.py:88-174``), cache-first
+        (h5 ``aux/<token>``, written by ``tools/prepare_map_aux.py``) with
+        devkit-free live fallback (aux needs only the infos boxes)."""
+        token = info["token"]
+        if token in self._aux_memo:
+            return self._aux_memo[token]
+        if self.cache_file:
+            import h5py
+
+            if self._h5 is None:
+                self._h5 = h5py.File(self.cache_file, "r")
+            key = f"aux/{token}"
+            if key in self._h5:
+                return np.asarray(self._h5[key], np.float32)
+        from .bev_raster import BEVRasterizer
+
+        vis = np.asarray(info.get(
+            "visibility", np.zeros(len(boxes7d))), np.float32)
+        out = BEVRasterizer().rasterize_aux(
+            boxes7d, vis[: len(boxes7d)], self.aux_data)
+        self._aux_memo[token] = out
+        return out
+
     @staticmethod
     def _unpack(packed: np.ndarray, channels: int = 18) -> np.ndarray:
         """int32 bit-packed masks -> (C, 200, 200) uint8 (the reference's
@@ -296,6 +324,9 @@ class NuScenesDataset:
             for n in names], np.int64)
         masks_bev = (self._bev_masks(info, boxes, bev_labels) if self.load_bev
                      else np.zeros((18, 200, 200), np.uint8))
+        # aux raster uses the same unfiltered boxes as the mask cache
+        aux_bev = (self._bev_aux(info, boxes)
+                   if self.load_bev and self.aux_data else None)
         if "visibility" in info and self.visibility_threshold > 0:
             vis = np.asarray(info["visibility"], np.int64)
             keep = vis >= self.visibility_threshold
@@ -326,6 +357,8 @@ class NuScenesDataset:
             "lidar2image": lidar2image.astype(np.float32),
             "img_aug_matrix": np.stack(aug_ms).astype(np.float32),
         }
+        if aux_bev is not None:
+            sample["gt_aux_bev"] = aux_bev
         if self.load_images:
             sample["img"] = np.asarray(imgs, np.float32)
 

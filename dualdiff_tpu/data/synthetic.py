@@ -105,6 +105,13 @@ class SyntheticNuScenes:
 
         img = rng.normal(0, 0.3, (n_cam, h, w, 3)).astype(np.float32).clip(-1, 1)
         masks_bev = (rng.random((18, 200, 200)) > 0.9).astype(np.uint8)
+        visibility = rng.integers(1, 5, n_box).astype(np.int64)
+        # aux channels through the real raster core (schema parity with the
+        # reference's gt_aux_bev, pipeline.py:88-174)
+        from .bev_raster import BEVRasterizer
+
+        aux_bev = BEVRasterizer().rasterize_aux(
+            gt_boxes, visibility.astype(np.float32))
 
         token = f"synthetic-{self.seed}-{idx:06d}"
         scene = f"scene-{idx // 8:04d}"  # 8-frame synthetic scenes
@@ -121,6 +128,8 @@ class SyntheticNuScenes:
             "gt_bboxes_3d": gt_boxes,
             "gt_labels_3d": gt_labels,
             "gt_masks_bev": masks_bev,
+            "gt_aux_bev": aux_bev,
+            "visibility": visibility,
             "camera_intrinsics": intrinsics.astype(np.float32),
             "lidar2camera": lidar2camera.astype(np.float32),
             "camera2lidar": cam2lidar.astype(np.float32),

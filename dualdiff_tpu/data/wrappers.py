@@ -100,4 +100,5 @@ def _build_frames(cfg, split: str, load_images: bool, load_bev: bool = True):
         missing_bev=str(missing_bev),
         load_bev=load_bev,
         point_cloud_range=d.get("point_cloud_range"),
+        aux_data=list(d.get("aux_data") or []),
     )

@@ -108,6 +108,99 @@ def test_rotated_box_rotates_mask(rast):
     assert abs(int(m0[ch].sum()) - int(m90[ch].sum())) <= 12
 
 
+def test_aux_channels_hand_computed(rast):
+    """Channel-for-channel aux raster vs hand-computed expectations for one
+    axis-aligned box (reference _get_dynamic_aux_bbox semantics,
+    pipeline.py:88-174): visibility level, center_offset in canvas units
+    (row ~ lidar x, col ~ lidar y), center_ohw = (|c->front|, |c->left|,
+    unit front dir), 3D box height."""
+    # box: center (10, 5), size (4, 2, 1.5), yaw 0; canvas 0.5 m/px
+    boxes = np.array([[10.0, 5.0, 0.0, 4.0, 2.0, 1.5, 0.0]], np.float32)
+    aux = rast.rasterize_aux(boxes, visibility=np.array([3.0]))
+    assert aux.shape == (8, 200, 200)  # 1+2+4+1 (ref AUX_DATA_CH; its "7 channels" docstring is stale)
+    # center at (row 120, col 110); footprint rows 116..124, cols 108..112
+    r, c = 118, 109  # strictly inside
+    np.testing.assert_allclose(aux[0, r, c], 3.0)  # visibility
+    np.testing.assert_allclose(aux[1, r, c], r - 120.0)  # offset row
+    np.testing.assert_allclose(aux[2, r, c], c - 110.0)  # offset col
+    # |center->front-mid| = (4/2)m / 0.5 = 4 px; |center->left-mid| = 2 px
+    np.testing.assert_allclose(aux[3, r, c], 4.0, atol=1e-5)
+    np.testing.assert_allclose(aux[4, r, c], 2.0, atol=1e-5)
+    # front direction = +x = +row
+    np.testing.assert_allclose(aux[5, r, c], 1.0, atol=1e-3)
+    np.testing.assert_allclose(aux[6, r, c], 0.0, atol=1e-3)
+    # outside the footprint: all channels zero
+    assert aux[:, 130, 130].sum() == 0
+    assert aux[:, r, 100].sum() == 0
+    # height channel lives at the END of the layout: [vis|off2|ohw4|h]
+    h_aux = rast.rasterize_aux(boxes, visibility=np.array([3.0]),
+                               aux_data=("height",))
+    np.testing.assert_allclose(h_aux[0, r, c], 1.5)
+    assert h_aux.shape == (1, 200, 200)
+    # yaw=90deg: front dir rotates to +y (+col); h/w swap roles
+    boxes_r = np.array([[10.0, 5.0, 0.0, 4.0, 2.0, 1.5, np.pi / 2]],
+                       np.float32)
+    aux_r = rast.rasterize_aux(boxes_r, visibility=np.array([1.0]))
+    np.testing.assert_allclose(aux_r[3, r, c], 4.0, atol=1e-5)
+    np.testing.assert_allclose(aux_r[5, r, c], 0.0, atol=1e-3)
+    np.testing.assert_allclose(aux_r[6, r, c], 1.0, atol=1e-3)
+
+
+def test_aux_in_synthetic_and_reader_samples():
+    from dualdiff_tpu.data.synthetic import SyntheticNuScenes
+
+    s = SyntheticNuScenes(num_samples=2)[0]
+    assert s["gt_aux_bev"].shape == (8, 200, 200)
+    assert s["gt_aux_bev"].dtype == np.float32
+    assert s["visibility"].shape == (len(s["gt_bboxes_3d"]),)
+    # boxes exist => some box stamped aux content
+    assert np.abs(s["gt_aux_bev"]).sum() > 0
+
+
+def test_aux_cache_roundtrip(tmp_path, rast):
+    """aux/<token> h5 group is preferred over live rasterization."""
+    import h5py
+    import pickle
+
+    from dualdiff_tpu.data.nuscenes import NuScenesDataset
+
+    cams = ["CAM_FRONT_LEFT", "CAM_FRONT", "CAM_FRONT_RIGHT",
+            "CAM_BACK_RIGHT", "CAM_BACK", "CAM_BACK_LEFT"]
+    info = {
+        "token": "tok0", "timestamp": 0,
+        "cams": {c: {
+            "data_path": "x.jpg",
+            "cam_intrinsic": np.eye(3),
+            "sensor2lidar_rotation": np.eye(3),
+            "sensor2lidar_translation": np.zeros(3),
+        } for c in cams},
+        "gt_boxes": np.array([[10.0, 5.0, 0.0, 4.0, 2.0, 1.5, 0.0]],
+                             np.float32),
+        "gt_names": ["car"], "visibility": np.array([2]),
+    }
+    pkl = tmp_path / "infos.pkl"
+    with open(pkl, "wb") as f:
+        pickle.dump({"infos": [info]}, f)
+    cache = tmp_path / "bev.h5"
+    masks = np.zeros((18, 200, 200), np.uint8)
+    sentinel = np.full((8, 200, 200), 5.0, np.float32)
+    with h5py.File(cache, "w") as h5:
+        h5.create_dataset("tok0", data=masks)
+        h5.create_dataset("aux/tok0", data=sentinel)
+    aux_list = ["visibility", "center_offset", "center_ohw", "height"]
+    ds = NuScenesDataset(str(pkl), dataset_root=str(tmp_path),
+                         object_classes=["car"], load_images=False,
+                         cache_file=str(cache), aux_data=aux_list)
+    np.testing.assert_array_equal(ds[0]["gt_aux_bev"], sentinel)
+    # without the cache: live aux matches the raster core directly
+    ds2 = NuScenesDataset(str(pkl), dataset_root=str(tmp_path),
+                          object_classes=["car"], load_images=False,
+                          missing_bev="zeros", aux_data=aux_list)
+    live = ds2[0]["gt_aux_bev"]
+    want = rast.rasterize_aux(info["gt_boxes"], np.array([2.0]), aux_list)
+    np.testing.assert_array_equal(live, want)
+
+
 def test_reader_errors_on_missing_bev(tmp_path):
     """Cache-miss without live raster must raise, not silently zero-fill."""
     import pickle

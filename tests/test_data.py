@@ -252,10 +252,10 @@ def test_trainer_collate_flip_wiring(ds):
     _collate_items (was implemented-but-unwired in round 1)."""
     from dualdiff_tpu.data.tokenizer import HashTokenizer as HT
 
-    class Stub:  # trainer duck-type: only cfg + tokenizer are used
-        pass
-
     from dualdiff_tpu.runner.trainer import MultiviewTrainer
+
+    class Stub:  # trainer duck-type: only cfg + tokenizer are used
+        _augment_items = MultiviewTrainer._augment_items
 
     stub = Stub()
     stub.cfg = load_config(
@@ -338,6 +338,8 @@ def test_trainer_batch_plan_determinism():
 
     class Stub:
         _collate_items = MultiviewTrainer._collate_items
+        _augment_items = MultiviewTrainer._augment_items
+        cache_cond = None
 
     stub = Stub()
     stub.cfg = load_config(CONFIG_DIR, overrides=["+exp=224x400"])

@@ -284,9 +284,13 @@ def test_prepare_map_aux_and_full_reader_chain(devkit_stub, tmp_path,
     with open(infos_pkl, "rb") as f:
         infos = pickle.load(f)["infos"]
     with h5py.File(h5_path, "r") as h5:
-        assert set(h5.keys()) == {i["token"] for i in infos}
+        assert set(h5.keys()) == {i["token"] for i in infos} | {"aux"}
+        assert set(h5["aux"].keys()) == {i["token"] for i in infos}
         masks = h5["s00"][()]
+        aux = h5["aux/s00"][()]
     assert masks.shape == (18, 200, 200) and masks.dtype == np.uint8
+    assert aux.shape == (8, 200, 200) and aux.dtype == np.float32
+    assert np.abs(aux).sum() > 0  # the car box stamped aux content
     # drivable area polygon covers the ego cell; divider line rasterized;
     # the car box (10m ahead) fills cells in its object channel
     from dualdiff_tpu.data.bev_raster import MAP_CLASSES, OBJECT_CLASSES

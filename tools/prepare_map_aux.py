@@ -3,9 +3,15 @@
 (reference ``tools/prepare_map_aux.py:25-132`` +
 ``magicdrive/dataset/pipeline.py:26-330`` rasterization).
 
-Requires nuscenes-devkit map expansion on disk.  The cache stores uint8
-(C, 200, 200) masks per token (the reference bit-packs with numba; plain
-uint8 here — 18 channels x 40k cells = 720KB/sample, zstd-compressed by h5).
+Requires nuscenes-devkit map expansion on disk.  Cache schema (h5):
+
+* ``<token>``       — (18, 200, 200) uint8 {0,1}: 8 map + 10 object masks
+  (the reference bit-packs with numba; plain uint8 here, gzip-compressed).
+* ``aux/<token>``   — (8, 200, 200) float32: class-agnostic object aux
+  channels [visibility | center_offset x2 | center_ohw x4 | height]
+  (reference ``gt_aux_bev``, ``pipeline.py:88-174``); written unless
+  ``--no-aux``.  The reader falls back to live aux rasterization (devkit-
+  free — it only needs the infos boxes) on cache miss.
 """
 
 from __future__ import annotations
@@ -80,6 +86,10 @@ def main():
     ap.add_argument("--out", required=True, help="output .h5")
     ap.add_argument("--xbound", nargs=3, type=float, default=[-50, 50, 0.5])
     ap.add_argument("--ybound", nargs=3, type=float, default=[-50, 50, 0.5])
+    ap.add_argument("--no-aux", action="store_true",
+                    help="skip the aux/<token> float32 channel group")
+    ap.add_argument("--aux-data", nargs="*", default=[
+        "visibility", "center_offset", "center_ohw", "height"])
     args = ap.parse_args()
 
     import h5py
@@ -102,6 +112,15 @@ def main():
             h5.create_dataset(info["token"], data=masks, compression="gzip")
             # round-trip check (reference prepare_map_aux.py:69-71)
             assert (h5[info["token"]][()] == masks).all()
+            if not args.no_aux:
+                boxes = np.asarray(
+                    info.get("gt_boxes", np.zeros((0, 7))), np.float32)
+                vis = np.asarray(
+                    info.get("visibility", np.zeros(len(boxes))), np.float32)
+                aux = BEVRasterizer(args.xbound, args.ybound).rasterize_aux(
+                    boxes, vis[: len(boxes)], args.aux_data)
+                h5.create_dataset(f"aux/{info['token']}", data=aux,
+                                  compression="gzip")
             if i % 100 == 0:
                 print(f"{i}/{len(infos)}", flush=True)
     print(f"wrote {len(infos)} masks -> {args.out}")
