@@ -69,6 +69,53 @@ def test_val_set_gen_downstream_tree(tmp_path):
     assert before == after
 
 
+def test_postprocess_fullscale_reference_geometry():
+    """Full-scale (1600x900) geometry parity with BOTH reference writers,
+    pixel-exact:
+
+    * val_set_gen's ``Resize(back_resize, BICUBIC) + Pad(back_pad)``
+      torchvision chain (``perception/data_prepare/val_set_gen.py:149-158``
+      with ``fid.resize=${dataset.back_resize}=[896,1600]``,
+      ``fid.padding=${dataset.back_pad}=[0,4,0,0]``);
+    * downstream_v3's ``ImageOps.pad((1600, 900), BICUBIC, color=0,
+      centering=(0.5, 1))`` (``tools/downstream_v3_batched.py:244-245``) —
+      contain-fit of 400x224 into 1600x900 is scale x4 -> 1600x896, bottom-
+      anchored, 4 black rows on top: the same tree downstream BEVFusion/CVT
+      evals consume."""
+    from PIL import Image, ImageOps
+
+    from tools.val_set_gen import postprocess
+
+    cfg = load_config(CONFIG_DIR, overrides=["+exp=224x400"])
+    back_resize = tuple(cfg.dataset.back_resize)
+    back_pad = tuple(cfg.dataset.back_pad)
+    assert back_resize == (896, 1600) and back_pad == (0, 4, 0, 0)
+
+    rng = np.random.default_rng(0)
+    img = rng.random((224, 400, 3)).astype(np.float32)
+    ours = postprocess(img, back_resize, back_pad)
+    assert ours.size == (1600, 900)
+
+    pil = Image.fromarray((img * 255).astype(np.uint8))
+    # independent oracle: downstream_v3's ImageOps.pad tree writer (a
+    # different PIL code path: contain-fit + centered paste).  The
+    # torchvision val_set_gen chain (oracle 2) reduces to the same PIL
+    # resize + paste on PIL inputs; asserted too when torchvision exists.
+    ref = ImageOps.pad(pil, (1600, 900), method=Image.BICUBIC,
+                       color=(0), centering=(0.5, 1))
+    np.testing.assert_array_equal(np.asarray(ours), np.asarray(ref))
+    try:
+        import torchvision.transforms as T
+        from torchvision.transforms import InterpolationMode
+    except ImportError:
+        return
+    ref2 = T.Compose([
+        T.Resize(list(back_resize), interpolation=InterpolationMode.BICUBIC),
+        T.Pad(list(back_pad)),
+    ])(pil)
+    np.testing.assert_array_equal(np.asarray(ours), np.asarray(ref2))
+
+
 def test_val_set_gen_token_naming_shard(tmp_path):
     """token naming (FID pairing) + sharding covers a disjoint subset."""
     root = _run(str(tmp_path), "token",

@@ -28,13 +28,19 @@ from dualdiff_tpu.utils.config import load_config
 
 
 def postprocess(img: np.ndarray, back_resize, back_pad) -> "Image":
-    """(H, W, 3) float [0,1] -> PIL at original nuScenes geometry
-    (reference val_set_gen.py:30-46)."""
+    """(H, W, 3) float [0,1] -> PIL at original nuScenes geometry.
+
+    Matches BOTH reference writers exactly: val_set_gen's
+    ``Resize(back_resize, BICUBIC) + Pad(back_pad)``
+    (``perception/data_prepare/val_set_gen.py:149-158``) and the downstream
+    tree's ``ImageOps.pad((1600, 900), BICUBIC, centering=(0.5, 1))``
+    (``tools/downstream_v3_batched.py:244-245``) — for 224x400 content both
+    reduce to a bicubic resize to 1600x896 plus 4 black rows on top."""
     from PIL import Image
 
     pil = Image.fromarray((img * 255).astype(np.uint8))
     h, w = back_resize
-    pil = pil.resize((w, h), Image.BILINEAR)
+    pil = pil.resize((w, h), Image.BICUBIC)
     left, top, right, bottom = back_pad
     if any(back_pad):
         out = Image.new("RGB", (w + left + right, h + top + bottom))
