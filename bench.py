@@ -48,9 +48,12 @@ def main():
 
     # the bench drives the SHIPPED pipeline class (VERDICT r2 weak #3: the
     # recorded number must describe the product code path, not an inline
-    # twin); inputs stay synthetic (schema-correct samples, no nuScenes)
+    # twin); inputs stay synthetic (schema-correct samples, no nuScenes).
+    # BENCH_OVERLAY swaps the experiment overlay (e.g. "+exp-hd=256x704"
+    # for the HD geometry probe); the headline stays the default flagship.
+    overlay = os.environ.get("BENCH_OVERLAY", "+exp=dual_branch_augloss_fusion")
     overrides = [
-        "+exp=dual_branch_augloss_fusion",
+        overlay,
         "dataset=Nuscenes_synthetic",
         f"dataset.num_samples={max(B, 2)}",
         f"runner.pipeline_param.num_inference_steps={STEPS}",
@@ -119,7 +122,7 @@ def main():
     mfu = (total_flops / dt / peak) if (total_flops and peak) else None
 
     result = {
-        "metric": "6-view 224x400 frames/sec/chip (UniPC-20, CFG 2, dual-branch)",
+        "metric": f"6-view {h}x{w} frames/sec/chip (UniPC-20, CFG 2, dual-branch)",
         "value": round(fps, 4),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / A100_BASELINE_FPS, 3),

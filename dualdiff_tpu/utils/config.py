@@ -214,6 +214,11 @@ def _compose_file(config_dir: str, rel: str, visited: Optional[set] = None) -> C
             placed_self = True
             continue
         if isinstance(entry, str):
+            # leading slash: absolute to the config ROOT (hydra semantics —
+            # exp-hd overlays chain `- /exp/dual_branch_augloss_fusion`)
+            if entry.startswith("/"):
+                merge(out, _compose_file(config_dir, entry[1:], visited))
+                continue
             # plain string: sibling file first (hydra group-relative), then root
             sib = os.path.join(rel_dir, entry) if rel_dir else entry
             target = sib if os.path.exists(

@@ -50,11 +50,25 @@ def test_dotted_override_and_group_swap():
 
 
 def test_every_exp_overlay_composes():
-    exp_dir = os.path.join(CONFIG_DIR, "exp")
-    for name in sorted(os.listdir(exp_dir)):
-        stem = name[: -len(".yaml")]
-        cfg = load_config(CONFIG_DIR, overrides=[f"+exp={stem}"])
-        assert cfg.task_id, stem
+    # every overlay group (exp, exp-hd, exp-drive-wm, ...), not just exp/:
+    # exp-hd chains a root-absolute default (`- /exp/...`, hydra semantics)
+    # that the composer must resolve against the config root
+    for group in sorted(d for d in os.listdir(CONFIG_DIR)
+                        if d.startswith("exp")):
+        for name in sorted(os.listdir(os.path.join(CONFIG_DIR, group))):
+            stem = name[: -len(".yaml")]
+            cfg = load_config(CONFIG_DIR, overrides=[f"+{group}={stem}"])
+            assert cfg.task_id, f"{group}/{stem}"
+
+
+def test_exp_hd_inherits_flagship_flags():
+    """+exp-hd=256x704 composes the full dual-branch flagship via its
+    root-absolute default, with the HD geometry on top."""
+    cfg = load_config(CONFIG_DIR, overrides=["+exp-hd=256x704"])
+    assert list(cfg.dataset.image_size) == [256, 704]
+    assert bool(cfg.model.controlnet.use_txt_con_fusion)  # from flagship
+    assert bool(cfg.use_aug_loss)
+    assert list(cfg.dataset.back_resize) == [896, 1600]
 
 
 def test_merge_semantics():
