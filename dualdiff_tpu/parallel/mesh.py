@@ -17,8 +17,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["create_mesh", "shard_batch", "replicate", "data_sharding",
-           "put_global"]
+__all__ = ["create_mesh", "shard_batch", "batch_shardings", "replicate",
+           "data_sharding", "put_global"]
 
 
 def put_global(tree, sharding):
@@ -75,23 +75,30 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch, mesh: Mesh, n_cam: int = 6):
-    """device_put a (nested) numpy batch: batch dim over 'data'; a camera
-    axis (dim 1 of size n_cam) additionally over 'view' when it divides.
-    Scalars / non-divisible leaves are replicated."""
+def batch_shardings(batch, mesh: Mesh, n_cam: int = 6):
+    """Per-leaf NamedSharding tree for a host batch: batch dim over 'data';
+    a camera axis (dim 1 of size n_cam) additionally over 'view' when it
+    divides.  Scalars / non-divisible leaves are replicated.  Shared by
+    ``shard_batch`` (actual placement) and the AOT scaling projector
+    (abstract lowering)."""
     repl = replicate(mesh)
     dsh = NamedSharding(mesh, P("data"))
     n_view = mesh.shape["view"]
     dvsh = NamedSharding(mesh, P("data", "view"))
 
-    def put(x):
+    def pick(x):
         if not hasattr(x, "ndim") or x.ndim < 1:
-            return put_global(x, repl)
+            return repl
         if x.shape[0] % mesh.shape["data"] != 0:
-            return put_global(x, repl)
+            return repl
         if (x.ndim >= 2 and x.shape[1] == n_cam and n_cam % n_view == 0
                 and n_view > 1):
-            return put_global(x, dvsh)
-        return put_global(x, dsh)
+            return dvsh
+        return dsh
 
-    return jax.tree_util.tree_map(put, batch)
+    return jax.tree_util.tree_map(pick, batch)
+
+
+def shard_batch(batch, mesh: Mesh, n_cam: int = 6):
+    """device_put a (nested) numpy batch with ``batch_shardings`` placement."""
+    return put_global(batch, batch_shardings(batch, mesh, n_cam))

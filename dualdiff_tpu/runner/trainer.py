@@ -302,13 +302,17 @@ def prepare_batch(batch: Dict) -> Dict:
 
 
 def init_full_params(cfg, models, tensors, latent_hw, image_hw,
-                     tokenizer) -> Dict:
+                     tokenizer, abstract: bool = False) -> Dict:
     """Fresh full param tree (frozen + trainable) for every model, initialised
     in ONE jitted program on device (op-by-op init through the axon tunnel is
     pathologically slow — CLAUDE.md), then box-adapter K/V cloning and
     CLIP-pooled category tokens applied (reference ``multiview_runner.py``
     ``_init_model`` responsibilities).  Shared by the trainer and by
-    inference-only surfaces (``bench.py``)."""
+    inference-only surfaces (``bench.py``).
+
+    ``abstract=True`` returns the ShapeDtypeStruct tree instead (no compute,
+    no memory — for AOT lowering, e.g. the multi-chip scaling projector);
+    the two post-init passes are value-only, so shapes are identical."""
     k = jax.random.PRNGKey(0)
     px = tensors["pixel_values"]
     B, N = px.shape[:2]
@@ -341,6 +345,8 @@ def init_full_params(cfg, models, tensors, latent_hw, image_hw,
             jnp.zeros((B * N,), jnp.int32), kv, n_cam=N)["params"]
         return params
 
+    if abstract:
+        return jax.eval_shape(init_all, k)
     log.info("initializing params (jit)...")
     t0 = time.time()
     params = jax.jit(init_all)(k)
