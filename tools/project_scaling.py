@@ -16,8 +16,10 @@ module we read:
 Projection model (documented, not measured — the table's caveat):
 
 * compute time scales from the MEASURED single-chip step
-  (``BENCH_MODE=train python bench.py``: 0.1391 s at 7.01 TF) by the
-  per-device FLOP ratio;
+  (``BENCH_MODE=train python bench.py``: 0.1391 s) by the per-device FLOP
+  ratio against the n=1 CPU-compiled module (when ``--devices`` includes 1;
+  CPU-vs-CPU cancels the Pallas-custom-calls-count-0-FLOPs difference from
+  the TPU-measured TF), else against ``--measured-tflops``;
 * collective time = sum over ops of ``factor(op) * bytes / W_ici`` with the
   standard ring factors (all-reduce ``2(k-1)/k``, all-gather/reduce-scatter
   ``(k-1)/k``, permute 1) and ``W_ici`` the per-chip ICI bandwidth budget a
@@ -203,7 +205,7 @@ def main(argv=None):
             return v
         return default
 
-    devices = [int(x) for x in str(flag("--devices", "2,4,8")).split(",")]
+    devices = [int(x) for x in str(flag("--devices", "1,2,4,8")).split(",")]
     force_view = flag("--view", None)  # mesh view-axis size (default: 2
     # when it divides — the shipped dryrun layout; 1 = pure data parallel)
     video = "--video" in argv and (argv.remove("--video") or True)
@@ -220,8 +222,14 @@ def main(argv=None):
     from dualdiff_tpu.utils.config import load_config
 
     rows = []
+    flops_n1 = None  # n=1 CPU-compiled FLOPs: the apples-to-apples anchor —
+    # the TPU-measured TF undercounts (Pallas custom-calls report 0 FLOPs to
+    # cost analysis) while the CPU lowering takes the einsum attention path,
+    # so scaling per-device CPU FLOPs against the n=1 CPU FLOPs cancels the
+    # counting difference.  Without an n=1 row, falls back to measured_tf.
     for n in devices:
-        view = int(force_view) if force_view else (2 if n % 2 == 0 else 1)
+        view = (1 if n == 1 else int(force_view) if force_view
+                else (2 if n % 2 == 0 else 1))
         data = n // view
         base = ["+exp=video_16f"] if video else [
             "+exp=dual_branch_augloss_fusion",
@@ -250,7 +258,12 @@ def main(argv=None):
         comm_bytes = sum(b for _, b, _ in colls)
         comm_s = sum(factors[op](g if g > 1 else n) * b / w_ici
                      for op, b, g in colls)
-        t_comp = measured_s * (flops_dev / (measured_tf * 1e12))
+        if n == 1:
+            flops_n1 = flops_dev
+        if flops_n1:
+            t_comp = measured_s * (flops_dev / flops_n1)
+        else:
+            t_comp = measured_s * (flops_dev / (measured_tf * 1e12))
         by_op = {}
         for op, b, g in colls:
             by_op[op] = by_op.get(op, 0) + b
@@ -273,7 +286,9 @@ def main(argv=None):
         "method": "AOT SPMD compile on virtual devices; compute anchored to "
                   "measured single-chip step; ring-factor collective model",
         "anchor": {"measured_step_s": measured_s,
-                   "measured_tflops": measured_tf},
+                   "measured_tflops": measured_tf,
+                   "cpu_n1_tflops": round(flops_n1 / 1e12, 3)
+                   if flops_n1 else None},
         "ici_gbps_budget": ici_gbps,
         "video": video,
         "rows": rows,
