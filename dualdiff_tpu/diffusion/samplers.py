@@ -131,10 +131,15 @@ def unipc_sample(
     model_state0=None,
     final_sigma: str = "zero",
 ) -> jnp.ndarray:
-    """UniPC-p2 (bh2, data prediction, corrector enabled, lower_order_final).
+    """UniPC p1-p3 (bh2, data prediction, corrector enabled, lower_order_final).
 
     One model eval per step; corrector reuses the fresh eval to refine the
-    previous predictor output before the next prediction.
+    previous predictor output before the next prediction.  ``order`` follows
+    the reference scheduler's ``solver_order`` (UniPCMultistepScheduler; the
+    DualDiff configs run 2).  All rho coefficients are solved per step on the
+    host (the UniPC B(h) linear systems are tiny and depend only on the
+    static timestep grid), so higher order adds no device work beyond one
+    extra fused multiply-add and one more scan-carry slot.
 
     ``final_sigma`` selects the last-step boundary:
       * ``"zero"`` — modern diffusers ``final_sigmas_type='zero'``: the final
@@ -147,15 +152,16 @@ def unipc_sample(
         deltas are separable during FID parity debugging (PARITY "known
         gaps"; VERDICT r2 weak #6).
     """
-    if order != 2:
+    if order not in (1, 2, 3):
         # config error, not an assert: asserts vanish under python -O and a
         # user setting runner.pipeline_param.solver_order deserves a clear
         # message (the reference exposes solver_order on
         # UniPCMultistepScheduler; its DualDiff configs always use 2)
         raise ValueError(
             f"solver_order={order} is not supported: this UniPC "
-            "implementation is order-2 (bh2 + corrector), the reference "
-            "default. Use solver_order=2 or scheduler=ddim.")
+            "implementation covers orders 1-3 (bh2 + corrector); the "
+            "reference default is 2. Use solver_order in (1, 2, 3) or "
+            "scheduler=ddim.")
     if final_sigma not in ("zero", "default", "sigma_min"):
         raise ValueError(f"unknown final_sigma {final_sigma!r}")
     n = num_inference_steps
@@ -176,8 +182,6 @@ def unipc_sample(
     # i-1: s0 = ts[i-1] -> t = ts[i]; order = this_order of step i-1.
     # predictor at step i: s0 = ts[i] -> t_next (ts[i+1] or 0-boundary).
     corr_on = np.zeros(n, np.float32)
-    corr_hist_on = np.zeros(n, np.float32)  # corrector order==2
-    pred_hist_on = np.zeros(n, np.float32)  # predictor order==2
     this_order = np.zeros(n, np.int64)
     lower_order_nums = 0
     for i in range(n):
@@ -186,64 +190,86 @@ def unipc_sample(
         this_order[i] = o
         if i > 0:
             corr_on[i] = 1.0
-            corr_hist_on[i] = 1.0 if this_order[i - 1] == 2 else 0.0
-        pred_hist_on[i] = 1.0 if o == 2 else 0.0
         lower_order_nums = min(lower_order_nums + 1, order)
 
-    def phi_coeffs(lam_t, lam_s0):
-        """Returns h_phi_1, B_h, b0, b1 (bh2, predict_x0 => hh = -h)."""
+    def bh2_system(lam_t, lam_s0, rks_hist, p_ord):
+        """(h, h_phi_1, B_h, rhos_p, rhos_c) for one bh2 update of order
+        ``p_ord`` with history ratios ``rks_hist`` (len p_ord-1), following
+        the reference scheduler's R/b construction (predict_x0 => hh = -h).
+        rhos_p weights the p_ord-1 history D1s of the predictor; rhos_c
+        weights [history D1s..., D1_t] for the corrector."""
         h = lam_t - lam_s0
         hh = -h
         h_phi_1 = np.expm1(hh)
         B_h = h_phi_1  # bh2
-        hp1 = h_phi_1 / hh - 1.0
-        b0 = hp1 / B_h
-        hp2 = hp1 / hh - 0.5
-        b1 = hp2 * 2.0 / B_h
-        return h, h_phi_1, B_h, b0, b1
+        rks = np.asarray(list(rks_hist) + [1.0], np.float64)
+        R = np.stack([rks ** k for k in range(p_ord)])
+        b = np.zeros(p_ord, np.float64)
+        h_phi_k = h_phi_1 / hh - 1.0
+        fact = 1.0
+        for k in range(1, p_ord + 1):
+            b[k - 1] = h_phi_k * fact / B_h
+            fact *= k + 1
+            h_phi_k = h_phi_k / hh - 1.0 / fact
+        if p_ord == 1:
+            rhos_p = np.zeros(0)
+            rhos_c = np.array([0.5])
+        else:
+            # reference special-cases the order-2 predictor to [0.5]
+            rhos_p = (np.array([0.5]) if p_ord == 2
+                      else np.linalg.solve(R[:-1, :-1], b[:-1]))
+            rhos_c = np.linalg.solve(R, b)
+        return h, h_phi_1, B_h, rhos_p, rhos_c
 
-    # corrector tables (s0 = ts[i-1], t = ts[i], s1 = ts[i-2])
+    # corrector tables (s0 = ts[i-1], t = ts[i], history ts[i-2], ts[i-3])
     c = {k: np.zeros(n, np.float64) for k in
-         ("sig_ratio", "alpha_t", "h_phi_1", "B_h", "rho_hist", "rho_t", "rk_inv")}
+         ("sig_ratio", "alpha_t", "h_phi_1", "B_h", "rho1", "rho2", "rho_t",
+          "rk1_inv", "rk2_inv")}
     for i in range(1, n):
         s0, t = ts[i - 1], ts[i]
-        h, h_phi_1, B_h, b0, b1 = phi_coeffs(lam(t), lam(s0))
+        oc = int(this_order[i - 1])  # order the prediction was made at
+        h = lam(t) - lam(s0)
+        rks_hist = [(lam(ts[i - 1 - k]) - lam(s0)) / h
+                    for k in range(1, oc)]
+        _, h_phi_1, B_h, _, rhos_c = bh2_system(lam(t), lam(s0), rks_hist, oc)
         c["sig_ratio"][i] = sigma(t) / sigma(s0)
         c["alpha_t"][i] = alpha(t)
         c["h_phi_1"][i] = h_phi_1
         c["B_h"][i] = B_h
-        if corr_hist_on[i] > 0 and i >= 2:
-            rk = (lam(ts[i - 2]) - lam(s0)) / h
-            rho_hist = (b0 - b1) / (1.0 - rk)
-            c["rho_hist"][i] = rho_hist
-            c["rho_t"][i] = b0 - rho_hist
-            c["rk_inv"][i] = 1.0 / rk
-        else:
-            c["rho_t"][i] = 0.5  # order-1 corrector
-    # predictor tables (s0 = ts[i], t = ts[i+1], s1 = ts[i-1]).  The final
-    # step targets the sigma=0 boundary (diffusers final_sigmas_type="zero"):
-    # in the limit h->inf, x_pred = x0 exactly.
+        c["rho_t"][i] = rhos_c[-1]
+        for k, r in enumerate(rks_hist):
+            c[f"rho{k + 1}"][i] = rhos_c[k]
+            c[f"rk{k + 1}_inv"][i] = 1.0 / r
+    # predictor tables (s0 = ts[i], t = ts[i+1], history ts[i-1], ts[i-2]).
+    # The final step targets the sigma=0 boundary (diffusers
+    # final_sigmas_type="zero"): in the limit h->inf, x_pred = x0 exactly.
     p = {k: np.zeros(n, np.float64) for k in
-         ("sig_ratio", "alpha_t", "h_phi_1", "B_h", "rk_inv")}
+         ("sig_ratio", "alpha_t", "h_phi_1", "B_h", "rho1", "rho2",
+          "rk1_inv", "rk2_inv")}
     for i in range(n):
         s0 = ts[i]
         if i + 1 < n:
             t = ts[i + 1]
-            h, h_phi_1, B_h, _, _ = phi_coeffs(lam(t), lam(s0))
+            op = int(this_order[i])
+            h = lam(t) - lam(s0)
+            rks_hist = [(lam(ts[i - k]) - lam(s0)) / h
+                        for k in range(1, op)]
+            _, h_phi_1, B_h, rhos_p, _ = bh2_system(
+                lam(t), lam(s0), rks_hist, op)
             p["sig_ratio"][i] = sigma(t) / sigma(s0)
             p["alpha_t"][i] = alpha(t)
             p["h_phi_1"][i] = h_phi_1
             p["B_h"][i] = B_h
-            if pred_hist_on[i] > 0 and i >= 1:
-                rk = (lam(ts[i - 1]) - lam(s0)) / h
-                p["rk_inv"][i] = 1.0 / rk
+            for k, r in enumerate(rks_hist):
+                p[f"rho{k + 1}"][i] = rhos_p[k]
+                p[f"rk{k + 1}_inv"][i] = 1.0 / r
         elif final_sigma == "zero":
             p["sig_ratio"][i] = 0.0
             p["alpha_t"][i] = 1.0
             p["h_phi_1"][i] = -1.0
             p["B_h"][i] = -1.0
         else:  # old-diffusers boundary: last predictor steps to timestep 0
-            h, h_phi_1, B_h, _, _ = phi_coeffs(lam(0), lam(s0))
+            _, h_phi_1, B_h, _, _ = bh2_system(lam(0), lam(s0), [], 1)
             p["sig_ratio"][i] = sigma(0) / sigma(s0)
             p["alpha_t"][i] = alpha(0)
             p["h_phi_1"][i] = h_phi_1
@@ -253,8 +279,6 @@ def unipc_sample(
     xs = {
         "t": jnp.asarray(ts, jnp.int32),
         "corr_on": f32(corr_on),
-        "corr_hist_on": f32(corr_hist_on),
-        "pred_hist_on": f32(pred_hist_on),
         "sqrt_ac": f32(np.sqrt(ac[ts])),
         "sqrt_1mac": f32(np.sqrt(1.0 - ac[ts])),
         **{f"c_{k}": f32(v) for k, v in c.items()},
@@ -266,38 +290,41 @@ def unipc_sample(
     if stateful:
         xs["i"] = jnp.arange(n, dtype=jnp.int32)
     # carry: x (sample at current ts[i]), last_sample (at ts[i-1]),
-    # m0 (x0-pred at ts[i-1]), m1 (x0-pred at ts[i-2])
-    carry0 = (latents.astype(jnp.float32), zero, zero, zero)
+    # m0/m1/m2 (x0-preds at ts[i-1], ts[i-2], ts[i-3])
+    carry0 = (latents.astype(jnp.float32), zero, zero, zero, zero)
     if stateful:
         carry0 = carry0 + (model_state0,)
 
     def body(carry, s):
         if stateful:
-            x, last_sample, m0, m1, mstate = carry
+            x, last_sample, m0, m1, m2, mstate = carry
             eps, mstate = model_fn(x, s["t"], s["i"], mstate)
             eps = eps.astype(jnp.float32)
         else:
-            x, last_sample, m0, m1 = carry
+            x, last_sample, m0, m1, m2 = carry
             mstate = None
             eps = model_fn(x, s["t"]).astype(jnp.float32)
         x0 = (x - s["sqrt_1mac"] * eps) / s["sqrt_ac"]  # model_output_convert
 
         # --- corrector (refine x using fresh eval) -------------------------
-        d1s_c = (m1 - m0) * s["c_rk_inv"]
+        # unused history slots carry rho == rk_inv == 0, so the terms vanish
+        d1_c = (m1 - m0) * s["c_rk1_inv"]
+        d2_c = (m2 - m0) * s["c_rk2_inv"]
         d1_t = x0 - m0
         x_corr_base = s["c_sig_ratio"] * last_sample - s["c_alpha_t"] * s["c_h_phi_1"] * m0
         x_corr = x_corr_base - s["c_alpha_t"] * s["c_B_h"] * (
-            s["c_rho_hist"] * d1s_c + s["c_rho_t"] * d1_t
+            s["c_rho1"] * d1_c + s["c_rho2"] * d2_c + s["c_rho_t"] * d1_t
         )
         x = jnp.where(s["corr_on"] > 0, x_corr, x)
 
         # --- predictor ------------------------------------------------------
-        d1s_p = (m0 - x0) * s["p_rk_inv"]  # history vs current m0=x0 here
+        d1_p = (m0 - x0) * s["p_rk1_inv"]  # history vs current x0
+        d2_p = (m1 - x0) * s["p_rk2_inv"]
         x_pred = s["p_sig_ratio"] * x - s["p_alpha_t"] * s["p_h_phi_1"] * x0
         x_pred = x_pred - s["p_alpha_t"] * s["p_B_h"] * (
-            s["pred_hist_on"] * 0.5 * d1s_p
+            s["p_rho1"] * d1_p + s["p_rho2"] * d2_p
         )
-        out = (x_pred, x, x0, m0)
+        out = (x_pred, x, x0, m0, m1)
         return (out + (mstate,) if stateful else out), None
 
     # NOTE (r3, measured): unroll=2 gains only +0.6% fps but doubles the

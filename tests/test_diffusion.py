@@ -97,14 +97,28 @@ def test_unipc_recovers_point_mass(sched, rng):
 
 
 def test_unipc_unsupported_order_is_config_error(sched, rng):
-    """solver_order != 2 raises a clear ValueError (not an assert that
-    vanishes under -O); the reference exposes solver_order on its scheduler
-    but DualDiff always runs order 2."""
+    """solver_order outside 1-3 raises a clear ValueError (not an assert
+    that vanishes under -O); the reference exposes solver_order on its
+    scheduler (orders 1-3 supported there too)."""
     x0_true = jnp.array([[0.5, -1.2, 2.0, 0.0]])
     model_fn = _exact_eps_model(x0_true, sched)
     xT = jax.random.normal(rng, x0_true.shape)
-    with pytest.raises(ValueError, match="solver_order=3"):
-        unipc_sample(sched, model_fn, xT, num_inference_steps=20, order=3)
+    with pytest.raises(ValueError, match="solver_order=4"):
+        unipc_sample(sched, model_fn, xT, num_inference_steps=20, order=4)
+
+
+@pytest.mark.parametrize("order", [1, 2, 3])
+def test_unipc_orders_recover_point_mass(sched, rng, order):
+    """Every supported solver_order lands on x0 for the exact eps model
+    (the final sigma=0 boundary makes the last step exact regardless of
+    order; earlier steps must stay finite and consistent)."""
+    x0_true = jnp.array([[0.5, -1.2, 2.0, 0.0]])
+    model_fn = _exact_eps_model(x0_true, sched)
+    xT = jax.random.normal(rng, x0_true.shape)
+    out = unipc_sample(sched, model_fn, xT, num_inference_steps=20,
+                       order=order)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x0_true),
+                               atol=1e-4)
 
 
 def test_unipc_final_sigma_modes(sched, rng):
@@ -167,6 +181,16 @@ def test_unipc_beats_ddim_on_ou_process(sched, rng):
     err_ddim = float(jnp.mean((ddim10 - ref) ** 2))
     err_unipc = float(jnp.mean((unipc10 - ref) ** 2))
     assert err_unipc < err_ddim
+    # higher solver_order tracks the ODE at least as well at few steps
+    unipc10_o3 = unipc_sample(sched, model_fn, xT, num_inference_steps=10,
+                              order=3)
+    err_o3 = float(jnp.mean((unipc10_o3 - ref) ** 2))
+    assert err_o3 < err_ddim
+    unipc10_o1 = unipc_sample(sched, model_fn, xT, num_inference_steps=10,
+                              order=1)
+    err_o1 = float(jnp.mean((unipc10_o1 - ref) ** 2))
+    # order ladder: more history never hurts on this smooth analytic ODE
+    assert err_unipc <= err_o1 * 1.05 and err_o3 <= err_unipc * 1.05
 
 
 def test_samplers_jit_compatible(sched, rng):
