@@ -468,7 +468,13 @@ class MultiviewTrainer:
     def _init_state(self):
         cfg = self.cfg
         ds = self.train_set
-        batch = self._collate_items([ds[0]], np.random.default_rng(0))
+        # the example batch must match the CONFIGURED batch size — the jitted
+        # step specializes on it, and perf surfaces (bench.py BENCH_MODE=train,
+        # tools/profile_train.py) measure this very batch: a fixed [ds[0]]
+        # silently measured B=1 under a B>1 config and inflated imgs/s
+        bs = int(cfg.runner.train_batch_size)
+        batch = self._collate_items([ds[i % len(ds)] for i in range(bs)],
+                                    np.random.default_rng(0))
         tensors = prepare_batch(batch)
         self._example_batch = tensors
         params = init_full_params(cfg, self.models, tensors, self.latent_hw,
@@ -502,9 +508,9 @@ class MultiviewTrainer:
         if self.cache_cond:
             self._precompute = jax.jit(make_precompute_cond(
                 self.models, self.latent_hw, self.image_hw))
-            # sentinel key — never collides with the (int, bool) plan keys
+            # sentinel keys — never collide with the (int, bool) plan keys
             self._example_batch = self._attach_cond(
-                [("__example__", 0)], tensors)
+                [("__example__", i) for i in range(bs)], tensors)
 
     # ------------------------------------------------------------------
     def _attach_cond(self, keys, batch: Dict) -> Dict:

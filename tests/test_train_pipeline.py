@@ -152,6 +152,23 @@ def test_conditioning_cache_matches_uncached_step(ds, tmp_path_factory):
         assert b1["ors_rays"].dtype == np.int8
 
 
+def test_example_batch_honors_train_batch_size(ds, tmp_path_factory):
+    """The jitted step specializes on the example batch, and the perf
+    surfaces (BENCH_MODE=train, tools/profile_train.py) measure it — it must
+    be built at runner.train_batch_size, not a fixed single sample (a fixed
+    [ds[0]] silently measured B=1 under a B=2 config and inflated imgs/s)."""
+    cfg = _cfg("224x400", extra=("runner.train_batch_size=2",
+                                 "runner.cache_conditioning=true"))
+    cfg.log_root = str(tmp_path_factory.mktemp("b2"))
+    trainer = MultiviewTrainer(cfg, ds, tiny=True)
+    eb = trainer._example_batch
+    assert eb["camera_param"].shape[0] == 2
+    assert eb["latent_moments"].shape[0] == 2  # cached-cond path too
+    _, m = trainer.train_step(trainer.state, trainer.frozen,
+                              trainer._example_batch, trainer.rng)
+    assert np.isfinite(float(m["loss"]))
+
+
 def test_pipeline_override_calls_memoized(vanilla, ds):
     """An overridden __call__ compiles once per distinct override tuple;
     repeat calls reuse the jitted executable instead of retracing
