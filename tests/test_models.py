@@ -127,7 +127,9 @@ def test_unet_selective_remat_equivalence(keys):
         def loss(p):
             return jnp.mean(m.apply(p, sample, t, ehs, n_cam=N_CAM) ** 2)
 
-        val, grads = jax.value_and_grad(loss)(params)
+        # jitted: op-by-op value_and_grad of the full tiny UNet took ~3 min
+        # on CPU (ADVICE r3); one compile is much cheaper
+        val, grads = jax.jit(jax.value_and_grad(loss))(params)
         return val, grads
 
     # threshold above every level's token count => nothing remats
