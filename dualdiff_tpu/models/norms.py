@@ -71,7 +71,13 @@ class GroupNorm(nn.Module):
         b_ = mu_c.shape[0]
         mu_g = mu_c.reshape(b_, g, c // g).mean(-1)          # (B, G)
         m2_g = m2_c.reshape(b_, g, c // g).mean(-1)
-        var_g = m2_g - jnp.square(mu_g)
+        # clamp like flax's use_fast_variance: E[x^2] - E[x]^2 can cancel
+        # to a small NEGATIVE number (bf16 inputs, few spatial elements),
+        # and rsqrt(var + eps) of a negative is NaN.  Observed for real on
+        # TPU at 32x48 tiny-smoke scale (deep blocks reduce over 2-6
+        # elements); XLA:CPU's reduction order happens not to go negative
+        # on the same data, which is why only device runs tripped it.
+        var_g = jnp.maximum(m2_g - jnp.square(mu_g), 0.0)
         inv_g = jax.lax.rsqrt(var_g + self.epsilon)
         # fold group stats + per-channel affine into one (B, C) scale/shift
         inv_c = jnp.repeat(inv_g, c // g, axis=-1)

@@ -57,3 +57,19 @@ def test_param_tree_matches_flax_names():
 def test_rejects_indivisible_groups():
     with pytest.raises(ValueError):
         GroupNorm(7).init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 4, 32)))
+
+
+def test_degenerate_spatial_and_near_constant_input_stay_finite():
+    """var = E[x^2] - E[x]^2 can cancel NEGATIVE under rounding (bf16 input,
+    1-6 spatial elements); unclamped, rsqrt(var + eps) is NaN — observed on
+    TPU at the 32x48 tiny-smoke scale (deep blocks reduce over 2x3 / 1x2
+    windows).  The clamp (flax semantics) must keep every such case finite."""
+    rng = np.random.default_rng(0)
+    gn = GroupNorm(num_groups=4, epsilon=1e-6, dtype=jnp.bfloat16)
+    for h, w in [(1, 1), (1, 2), (2, 3), (3, 3)]:
+        for scale in (1.0, 300.0, 1e4):
+            x = (scale * (1 + 1e-4 * rng.standard_normal((2, h, w, 16))))
+            x = jnp.asarray(x, jnp.bfloat16)
+            p = gn.init(jax.random.PRNGKey(0), x)
+            y = gn.apply(p, x)
+            assert bool(jnp.isfinite(y.astype(jnp.float32)).all()), (h, w, scale)

@@ -67,7 +67,8 @@ _GROUPS = re.compile(r"replica_groups=\{\{([\d,]+)\}")
 
 
 def _collective_stats(hlo: str):
-    """-> list of (op, bytes, group_size) for every lowered collective."""
+    """-> list of (op, bytes, group_size, src) for every lowered collective;
+    ``src`` is the trailing jax op_name path segment (provenance)."""
     out = []
     for line in hlo.splitlines():
         line = line.strip()
@@ -94,7 +95,9 @@ def _collective_stats(hlo: str):
         size = max(per)
         g = _GROUPS.search(line)
         group = len(g.group(1).split(",")) if g else 0
-        out.append((m.group(1), size, group))
+        nm = re.search(r'op_name="([^"]*)"', line)
+        src = nm.group(1).split("/")[-1][-80:] if nm else ""
+        out.append((m.group(1), size, group, src))
     return out
 
 
@@ -255,9 +258,9 @@ def main(argv=None):
                    "reduce-scatter": lambda k: (k - 1) / k,
                    "collective-permute": lambda k: 1.0,
                    "all-to-all": lambda k: (k - 1) / k}
-        comm_bytes = sum(b for _, b, _ in colls)
+        comm_bytes = sum(b for _, b, _, _ in colls)
         comm_s = sum(factors[op](g if g > 1 else n) * b / w_ici
-                     for op, b, g in colls)
+                     for op, b, g, _ in colls)
         if n == 1:
             flops_n1 = flops_dev
         if flops_n1:
@@ -265,8 +268,9 @@ def main(argv=None):
         else:
             t_comp = measured_s * (flops_dev / (measured_tf * 1e12))
         by_op = {}
-        for op, b, g in colls:
+        for op, b, g, _ in colls:
             by_op[op] = by_op.get(op, 0) + b
+        top = sorted(colls, key=lambda c: -c[1])[:5]
         rows.append({
             "devices": n, "mesh": dict(mesh.shape),
             "per_device_tflops": round(flops_dev / 1e12, 3),
@@ -277,9 +281,14 @@ def main(argv=None):
             "t_comm_s": round(comm_s, 4),
             "step_s_no_overlap": round(t_comp + comm_s, 4),
             "step_s_full_overlap": round(max(t_comp, comm_s), 4),
+            # total images per step = 6 * data (per-chip-batch held at 1
+            # sample per data row); spread over n = data*view chips
             "imgs_per_s_per_chip_bounds": [
-                round(6 / (t_comp + comm_s), 2),
-                round(6 / max(t_comp, comm_s), 2)],
+                round(6 / view / (t_comp + comm_s), 2),
+                round(6 / view / max(t_comp, comm_s), 2)],
+            "top_collectives": [
+                {"op": op, "mb": round(b / 1e6, 1), "group": g, "src": src}
+                for op, b, g, src in top],
         })
         print(json.dumps(rows[-1]), flush=True)
     print(json.dumps({
