@@ -226,7 +226,11 @@ def main_train():
     from dualdiff_tpu.utils.flops import jit_flops, mfu
 
     steps = int(os.environ.get("BENCH_TRAIN_STEPS", "20"))
-    tb = int(os.environ.get("BENCH_TRAIN_BATCH", "1"))
+    # B=2 is the measured single-chip optimum (r4): 50.2 imgs/s/chip at
+    # 30.0% MFU vs 43.1 at B=1; B=3 does not fit HBM (RESOURCE_EXHAUSTED —
+    # the conditioning cache freed the VAE-encoder activations that made
+    # even B=2 impossible through r3)
+    tb = int(os.environ.get("BENCH_TRAIN_BATCH", "2"))
     cfg = load_config("configs", overrides=[
         "+exp=dual_branch_augloss_fusion",
         "dataset=Nuscenes_synthetic",
