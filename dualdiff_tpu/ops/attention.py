@@ -794,10 +794,34 @@ def _packed_train_t_bwd(scale, heads, lens, res, g):
             jnp.swapaxes(dv_t, 1, 2)[:, :lk])
 
 
+_NBR_PIN_MESH = None
+
+
+def set_neighbor_pin_mesh(mesh) -> None:
+    """Register the active device mesh: on multi-device meshes the attn4
+    neighbor attention switches to its collective-free unstacked form
+    (see ``_nbr_stacked``).  Called by the trainer and the scaling
+    projector; plain jit tracing exposes no ambient mesh in jax 0.9, so
+    the concrete mesh must be plumbed."""
+    global _NBR_PIN_MESH
+    _NBR_PIN_MESH = mesh
+
+
 def _nbr_stacked(q, k, v, scale, heads, n_cam, lens, use_flash):
-    """Stacked [left; right] neighbor formulation (training / fallback) —
-    identical compute to gathering the hidden states first (row-wise GEMMs
-    commute with the gather)."""
+    """Left/right ring-neighbor attention (training / fallback) — identical
+    compute to gathering the hidden states first (row-wise GEMMs commute
+    with the gather).
+
+    Two formulations, numerically identical:
+
+    * single device: stack [left; right] on the batch dim — one call with a
+      2x GEMM batch (fewer kernel launches, better MXU batching);
+    * sharded mesh (``set_neighbor_pin_mesh``): run the two neighbor
+      attentions separately and add.  Concatenating along the SHARDED batch
+      dim reshuffles rows across devices — measured 2.8-3.0 GB/step of
+      collective-permutes at full train scale (projector provenance
+      ``attn4/slice``); the unstacked form lowers with ZERO collectives
+      under pure data parallelism (each device holds whole samples)."""
     bn, lq, c = q.shape
     b = bn // n_cam
     left = np.array([(i - 1) % n_cam for i in range(n_cam)])
@@ -807,13 +831,18 @@ def _nbr_stacked(q, k, v, scale, heads, n_cam, lens, use_flash):
         return jnp.take(t.reshape(b, n_cam, lq, c), idx,
                         axis=1).reshape(bn, lq, c)
 
+    call = ((lambda a, b_, c_: _flash_packed(a, b_, c_, scale, heads, lens))
+            if use_flash else
+            (lambda a, b_, c_: _einsum_packed(a, b_, c_, scale, heads)))
+
+    m = _NBR_PIN_MESH
+    if m is not None and m.size > 1:
+        return (call(q, take(k, left), take(v, left))
+                + call(q, take(k, right), take(v, right)))
     q2 = jnp.concatenate([q, q], axis=0)
     k2 = jnp.concatenate([take(k, left), take(k, right)], axis=0)
     v2 = jnp.concatenate([take(v, left), take(v, right)], axis=0)
-    if use_flash:
-        out2 = _flash_packed(q2, k2, v2, scale, heads, lens)
-    else:
-        out2 = _einsum_packed(q2, k2, v2, scale, heads)
+    out2 = call(q2, k2, v2)
     return out2[:bn] + out2[bn:]
 
 

@@ -96,7 +96,8 @@ def _collective_stats(hlo: str):
         g = _GROUPS.search(line)
         group = len(g.group(1).split(",")) if g else 0
         nm = re.search(r'op_name="([^"]*)"', line)
-        src = nm.group(1).split("/")[-1][-80:] if nm else ""
+        # keep the trailing path segments — module context, not just the op
+        src = "/".join(nm.group(1).split("/")[-4:])[-160:] if nm else ""
         out.append((m.group(1), size, group, src))
     return out
 
@@ -120,6 +121,9 @@ def _abstract_step(cfg, mesh, video: bool):
     from dualdiff_tpu.runner.train_state import (
         build_optimizer, partition_params, trainable_predicate)
 
+    from dualdiff_tpu.ops.attention import set_neighbor_pin_mesh
+
+    set_neighbor_pin_mesh(mesh)
     models = build_models(cfg, tiny=False)
     tokenizer = build_tokenizer(str(cfg.model.pretrained_model_name_or_path))
     h, w = cfg.dataset.image_size
