@@ -942,28 +942,32 @@ def _flash_packed(q, k, v, scale, heads, lens):
 
 
 def _flash_packed_fwd(q, k, v, scale, heads, lens):
+    if _train_t_eligible(heads, lens, q.shape[-1]):
+        # whole-tile shapes (self-attn/attn4 AND short-KV cross-attn):
+        # transposed-layout training kernels — no head split/merge
+        # relayouts in fwd OR bwd.  Short-KV (Lk=238 cross-attn) measured
+        # 0.783 vs einsum 1.015 ms/iter fwd+bwd at the 1400-token training
+        # shape (r4); pad K columns are masked in fwd/dq, and dk/dv pad
+        # rows are garbage only in the sliced-off pad region.
+        return _packed_train_t_fwd(q, k, v, scale, heads, lens)
     if lens[1] < 1024:
-        # short-KV (cross-attn) training: einsum + XLA fusion beats the
-        # flash kernels; only the inference primal uses the packed kernel
+        # short-KV shapes the transposed kernels can't take (d % 8 != 0 or
+        # over-cap score tile): einsum + XLA fusion
         out, vjp = jax.vjp(
             lambda q_, k_, v_: _einsum_packed(q_, k_, v_, scale, heads),
             q, k, v)
         return out, (vjp,)
-    if _train_t_eligible(heads, lens, q.shape[-1]):
-        # whole-tile shapes (self-attn/attn4): transposed-layout training
-        # kernels — no head split/merge relayouts in fwd OR bwd
-        return _packed_train_t_fwd(q, k, v, scale, heads, lens)
     qb, kb, vb, blocks = _split_to_bh(q, k, v, heads, lens)
     out, res = _flash_padded_fwd(qb, kb, vb, scale, lens, blocks)
     return _merge_from_bh(out, q.shape[0], heads, lens[0]), (res, blocks)
 
 
 def _flash_packed_bwd(scale, heads, lens, carry, g):
+    if _train_t_eligible(heads, lens, g.shape[-1]):
+        return _packed_train_t_bwd(scale, heads, lens, carry, g)
     if lens[1] < 1024:
         (vjp,) = carry
         return vjp(g)
-    if _train_t_eligible(heads, lens, g.shape[-1]):
-        return _packed_train_t_bwd(scale, heads, lens, carry, g)
     res, blocks = carry
     b, lq, c = g.shape
     d = c // heads

@@ -150,7 +150,9 @@ def test_packed_attention_inference_and_grads(rng):
 def test_packed_attention_short_kv(rng):
     """Long-query/short-KV (cross-attn shape): the inference primal runs
     the transposed kernel with heavy K padding + l-correction; the training
-    path routes through einsum (exact-equal grads)."""
+    path routes through the transposed train kernels when shape-eligible
+    (pad-K masking in fwd/dq; measured faster than einsum at the attn2
+    training shape, r4), with einsum as the ineligible-shape fallback."""
     from dualdiff_tpu.ops.attention import _einsum_packed, _flash_packed
 
     k1, k2, k3, k4 = jax.random.split(rng, 4)
@@ -163,6 +165,27 @@ def test_packed_attention_short_kv(rng):
     out = _flash_packed(q, k, v, d**-0.5, h, (lq, lk))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
 
+    w = jax.random.normal(k4, (b, lq, c), jnp.float32)
+    gp = jax.grad(lambda *a: jnp.sum(
+        _flash_packed(*a, d**-0.5, h, (lq, lk)) * w), argnums=(0, 1, 2))(q, k, v)
+    ge = jax.grad(lambda *a: jnp.sum(
+        _einsum_packed(*a, d**-0.5, h) * w), argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gp, ge):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=2e-3, rtol=2e-3)
+
+
+def test_packed_attention_short_kv_einsum_fallback(rng):
+    """d % 8 != 0 is ineligible for the transposed train kernels — the
+    training path must fall back to einsum with EXACT-equal grads."""
+    from dualdiff_tpu.ops.attention import _einsum_packed, _flash_packed
+
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    b, lq, lk, h, d = 1, 1280, 96, 4, 20
+    c = h * d
+    q = jax.random.normal(k1, (b, lq, c), jnp.float32)
+    k = jax.random.normal(k2, (b, lk, c), jnp.float32)
+    v = jax.random.normal(k3, (b, lk, c), jnp.float32)
     w = jax.random.normal(k4, (b, lq, c), jnp.float32)
     gp = jax.grad(lambda *a: jnp.sum(
         _flash_packed(*a, d**-0.5, h, (lq, lk)) * w), argnums=(0, 1, 2))(q, k, v)
