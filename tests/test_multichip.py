@@ -121,3 +121,27 @@ def test_dp_sharded_generation(mesh, trainer):
     # device mid-graph)
     spec = imgs.sharding.spec
     assert spec and spec[0] == "data", spec
+
+
+def test_pure_dp_step_lowers_no_collective_permutes(tmp_path_factory):
+    """Pure data parallelism must stay collective-minimal: the only lowered
+    collective in the optimized train-step HLO is the trainable-grad
+    all-reduce.  Regression test for the attn4 ring-neighbor gather — the
+    stacked [left; right] batch-concat used to lower as GB-scale halo
+    collective-permutes under a sharded batch dim
+    (``ops/attention.py::_nbr_stacked``, ``set_neighbor_pin_mesh``)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh from conftest")
+    dp_mesh = create_mesh(data=8, view=1)
+    cfg = load_config(CONFIG_DIR, overrides=[
+        "+exp=224x400", "runner=debug", f"dataset.image_size={IMG}",
+        "runner.train_batch_size=8"])
+    cfg.log_root = str(tmp_path_factory.mktemp("puredp"))
+    ds = SyntheticNuScenes(num_samples=8, image_size=tuple(IMG))
+    tr = MultiviewTrainer(cfg, ds, tiny=True, mesh=dp_mesh)
+    batch = shard_batch(next(tr._batches(epoch=0)), dp_mesh)
+    hlo = tr.train_step.lower(tr.state, tr.frozen, batch,
+                              tr.rng).compile().as_text()
+    assert "all-reduce" in hlo  # grads really cross devices
+    for op in ("collective-permute", "all-to-all"):
+        assert op not in hlo, f"pure-DP step lowered a {op}"
