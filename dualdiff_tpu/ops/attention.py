@@ -452,12 +452,14 @@ def _fwd_kernel_t_capped(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
         o_ref[0] = (acc_ref[...] / l_ref[...]).astype(o_ref.dtype)
 
 
-def _packed_infer_capped(q, k, v, scale, heads, lens):
-    """Transposed-layout inference with K/V grid-blocking (whole-q tile)."""
+def _packed_infer_capped(q, k, v, scale, heads, lens, block_k=512):
+    """Transposed-layout inference with K/V grid-blocking (whole-q tile).
+
+    block_k=512 is the measured optimum at the over-cap shapes (r4 sweep
+    at ST-Attn 1400x2800 and exp-hd 2816x2816; 256 and 1024 both lose)."""
     lq, lk = lens
     b, _, c = q.shape
     d = c // heads
-    block_k = 512
     lq_p = -(-lq // 128) * 128
     lk_p = -(-lk // block_k) * block_k
     qt = _pad_to(jnp.swapaxes(q, 1, 2), 2, 128)

@@ -139,12 +139,19 @@ def make_loss_fn(models, cfg, schedule: DiffusionSchedule,
         p_vae = {"params": params["vae"]}
         p_text = {"params": params["text_encoder"]}
 
+        @jax.checkpoint
         def vae_decode(flat):
-            # NOTE: chunking this decode (lax.map) does NOT reduce the
-            # training HBM peak — plain map under grad saves every chunk's
-            # decoder activations (measured 92G for 4-frame clips), and
-            # remat-chunked still measured 19.3G vs 16.1G unchunked.
-            # Clips >2 frames need the multi-chip mesh (see RESULTS.md).
+            # Rematerialized as a WHOLE (r4): the decode runs under grad
+            # only for the tone/reward terms, and without remat its
+            # image-res decoder activations persist from the forward until
+            # the very end of the backward, coexisting with the whole UNet
+            # bwd state.  jax.checkpoint stores only the latent input and
+            # replays the decode inside the backward.
+            # NOTE: CHUNKING the decode (lax.map) does NOT help — plain map
+            # under grad saves every chunk's decoder activations (measured
+            # 92G for 4-frame clips), and remat-CHUNKED map still measured
+            # 19.3G vs 16.1G unchunked.  Clips >2 frames need the
+            # multi-chip mesh (see RESULTS.md).
             return vae.apply(p_vae, flat, method=vae.decode)
 
         px = batch.get("pixel_values")  # (B, N, H, W, 3); absent when the
