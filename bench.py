@@ -285,11 +285,87 @@ def main_train():
     }))
 
 
+def main_video_train():
+    """Secondary bench (BENCH_MODE=video_train): video training-step
+    throughput (DualDiff+ stage 1: ST-Attn + temporal UNet, dual branch,
+    full SD scale).  BENCH_FRAMES clips x 6 views per step (default 2 —
+    the largest clip that fits single-chip HBM under grad; 16-frame clips
+    train on the multi-chip mesh, RESULTS.md).  BENCH_CACHE_COND=0 turns
+    the per-(clip, frame, flip) conditioning cache off for A/B."""
+    from dualdiff_tpu import enable_compilation_cache
+
+    enable_compilation_cache()
+    from dualdiff_tpu.data.video import SyntheticNuScenesVideo
+    from dualdiff_tpu.parallel.mesh import shard_batch
+    from dualdiff_tpu.runner.video_trainer import VideoTrainer
+    from dualdiff_tpu.utils.config import load_config
+    from dualdiff_tpu.utils.flops import jit_flops, mfu
+
+    steps = int(os.environ.get("BENCH_TRAIN_STEPS", "20"))
+    frames = int(os.environ.get("BENCH_FRAMES", "2"))
+    cache = os.environ.get("BENCH_CACHE_COND", "1") != "0"
+    cfg = load_config("configs", overrides=[
+        "+exp=video_16f", f"video.num_frames={frames}",
+        # fixed: LR-schedule constants are baked into the step HLO
+        "runner.max_train_steps=1000",
+        "runner.num_workers=0",
+        f"runner.cache_conditioning={'true' if cache else 'false'}",
+        "runner.train_batch_size=1",
+    ])
+    clips = SyntheticNuScenesVideo(num_clips=2, num_frames=frames,
+                                   image_size=(224, 400))
+    print("# building video trainer (init params on device)...", flush=True)
+    trainer = VideoTrainer(cfg, clips, tiny=False)
+    batch = shard_batch(trainer._example_batch, trainer.mesh)
+
+    print("# compiling video train step...", flush=True)
+    t0 = time.time()
+    state, metrics = trainer.train_step(trainer.state, trainer.frozen,
+                                        batch, trainer.rng)
+    loss = float(metrics["loss"])  # value fetch = true device sync (tunnel)
+    compile_s = time.time() - t0
+    print(f"# compile+first-step {compile_s:.1f}s loss={loss:.4f}",
+          flush=True)
+
+    t0 = time.time()
+    for _ in range(steps):
+        state, metrics = trainer.train_step(state, trainer.frozen, batch,
+                                            trainer.rng)
+    loss = float(metrics["loss"])
+    dt = (time.time() - t0) / steps
+    flops = jit_flops(trainer.train_step, state, trainer.frozen, batch,
+                      trainer.rng)
+
+    print(json.dumps({
+        "metric": f"video train {frames}-frame 6-view clips/sec/chip "
+                  "(224x400, ST-Attn+temporal, dual-branch, full SD scale"
+                  f"{', conditioning cache' if cache else ''})",
+        "value": round(1.0 / dt, 4),
+        "unit": "clips/s/chip",
+        "vs_baseline": None,  # no reference video stack exists (SURVEY §0)
+        "detail": {
+            "step_time_s": round(dt, 4),
+            "frames": frames,
+            "images_per_s": round(6 * frames / dt, 2),
+            "cache_conditioning": cache,
+            "steps": steps,
+            "compile_s": round(compile_s, 1),
+            "loss": round(loss, 4),
+            "model_tflops_per_step": round(flops / 1e12, 2) if flops else None,
+            "mfu": mfu(flops, dt) if flops else None,
+            "backend": jax.default_backend(),
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
 if __name__ == "__main__":
     mode = os.environ.get("BENCH_MODE", "")
     if mode == "video_16f":
         main_video()
     elif mode == "train":
         main_train()
+    elif mode == "video_train":
+        main_video_train()
     else:
         main()

@@ -98,7 +98,9 @@ def make_rgd_reward(cfg):
         else:
             r = mse_proxy_reward(pred, gt, batch)
         if t_weight > 0 and frames > 1:
-            n_cam = batch["pixel_values"].shape[1]
+            # camera_param is always collated; pixel_values is dropped from
+            # cached-conditioning batches when no loss term needs pixels
+            n_cam = batch["camera_param"].shape[1]
             r = r + t_weight * temporal_consistency_reward(
                 pred, gt, frames, n_cam)
         return r

@@ -422,14 +422,18 @@ class MultiviewTrainer:
 
         # conditioning cache (VERDICT r4 training-MFU work): precompute the
         # parameter-independent frozen conditioning (VAE moments, ORS rays)
-        # once per (sample, flip) and reuse across epochs.  Off for video
-        # (clip collate has its own item layout).
-        self.cache_cond = bool(cfg.runner.get("cache_conditioning", False)) \
-            and not bool(cfg.get("use_video", False))
+        # once per (sample, flip) and reuse across epochs.  Video keys per
+        # frame (VideoTrainer._cond_keys) — the frozen VAE encode of
+        # frames x views images per clip dominates its host precompute.
+        self.cache_cond = bool(cfg.runner.get("cache_conditioning", False))
         self._cond_cache: Dict[Tuple, Dict[str, np.ndarray]] = {}
         self._cond_cache_bytes = 0
         self._cond_cache_full = False
-        self._needs_px = bool(cfg.get("use_tone_guidance", False))
+        # cached-cond batches drop GT pixels unless a loss term reads them
+        # (tone loss; the RGD reward compares against GT images)
+        self._needs_px = bool(cfg.get("use_tone_guidance", False)) or (
+            bool(cfg.get("use_video", False))
+            and bool((cfg.get("video") or {}).get("rgd", {}).get("enable")))
 
         self._compute_steps()
         self.tx, self.lr_sched = build_optimizer(
@@ -522,9 +526,16 @@ class MultiviewTrainer:
                 self.models, self.latent_hw, self.image_hw))
             # sentinel keys — never collide with the (int, bool) plan keys
             self._example_batch = self._attach_cond(
-                [("__example__", i) for i in range(bs)], tensors)
+                self._cond_keys([("__example__", i) for i in range(bs)],
+                                [False] * bs), tensors)
 
     # ------------------------------------------------------------------
+    def _cond_keys(self, idxs, flips):
+        """Host-cache keys for one planned batch: one key per leading row
+        of the collated tensors.  Image batches have one row per sample;
+        VideoTrainer overrides with one key per (clip, frame, flip)."""
+        return list(zip(idxs, flips))
+
     def _attach_cond(self, keys, batch: Dict) -> Dict:
         """Swap raw frozen-conditioning inputs (pixels for VAE encode,
         occupancy volume for ORS) for their precomputed per-sample tensors,
@@ -593,7 +604,7 @@ class MultiviewTrainer:
         samples, flips = self._augment_items(samples, rng)
         batch = prepare_batch(
             self._collate_items(samples, rng, pre_augmented=True))
-        return self._attach_cond(list(zip(idxs, flips)), batch)
+        return self._attach_cond(self._cond_keys(idxs, flips), batch)
 
     def _build_device_batch(self, plan):
         return shard_batch(self._build_host_batch(plan), self.mesh)

@@ -58,9 +58,40 @@ class VideoTrainer(MultiviewTrainer):
             self.image_hw, frames=self.num_frames,
             reward_fn=(reward_fn or make_rgd_reward(cfg)) if rgd else None,
             reward_weight=float(cfg.video.rgd.reward_weight) if rgd else 0.0,
+            cached_cond=self.cache_cond,
         ), donate_argnums=(0,), out_shardings=(repl, repl))
 
     # clip datasets return a list of frames per item; the base trainer's
     # batch plumbing (plan -> build -> prefetch) applies unchanged
-    def _collate_items(self, items, rng):
+    def _collate_items(self, items, rng, pre_augmented: bool = False):
+        if not pre_augmented:
+            items, _ = self._augment_items(items, rng)
         return collate_video(items, self.cfg, self.tokenizer, rng=rng)
+
+    def _augment_items(self, items, rng):
+        """Clip-consistent RandomFlip3DwithViews: one flip decision per
+        clip, applied to every frame (a per-frame draw would decorrelate
+        the temporal stream ST-Attn trains on).  Inert at the config
+        default flip_ratio=0."""
+        flip = float((self.cfg.dataset.get("augment3d") or {})
+                     .get("flip_ratio") or 0.0)
+        if flip <= 0:
+            return items, [False] * len(items)
+        from ..data.augment import random_flip_3d_with_views
+
+        out, flags = [], []
+        for clip in items:
+            do = bool(rng.random() < flip)
+            if do:
+                clip = [random_flip_3d_with_views(fr, rng, flip_ratio=1.0)
+                        for fr in clip]
+            out.append(clip)
+            flags.append(do)
+        return out, flags
+
+    def _cond_keys(self, idxs, flips):
+        # collate_video flattens frame-outer per clip; the conditioning
+        # cache keys each row as (clip id, frame index, flip)
+        return [(i, f, fl)
+                for i, fl in zip(idxs, flips)
+                for f in range(self.num_frames)]

@@ -227,3 +227,68 @@ def test_video_pipeline_generate(clips):
     h, w = IMG
     assert imgs.shape == (F, 6, h, w, 3)  # one clip: F frames x 6 views
     assert np.isfinite(np.asarray(imgs)).all()
+
+
+def test_video_conditioning_cache(clips, tmp_path_factory):
+    """runner.cache_conditioning extends to clips: frame-keyed host cache
+    ((clip, frame, flip)), clip-consistent flip augmentation, and a loss
+    stream matching the uncached step (same rng draw shapes — the cached
+    path samples the posterior from stored moments)."""
+    extra = ["dataset.augment3d.flip_ratio=0.5"]
+    cfg = _cfg("video_16f", extra=extra)
+    cfg.log_root = str(tmp_path_factory.mktemp("vcache_off"))
+    t_off = VideoTrainer(cfg, clips, tiny=True)
+
+    cfg2 = _cfg("video_16f",
+                extra=extra + ["runner.cache_conditioning=true"])
+    cfg2.log_root = str(tmp_path_factory.mktemp("vcache_on"))
+    t_on = VideoTrainer(cfg2, clips, tiny=True)
+    assert t_on.cache_cond
+
+    m_off = t_off.run(max_steps=1)
+    m_on = t_on.run(max_steps=1)
+    np.testing.assert_allclose(m_on["loss"], m_off["loss"], rtol=2e-4)
+
+    # epoch repeat: every (clip, frame, flip) is served from the host cache
+    calls = {"n": 0}
+    real = t_on._precompute
+
+    def counting(frozen, batch):
+        calls["n"] += 1
+        return real(frozen, batch)
+
+    t_on._precompute = counting
+    b1 = list(t_on._batches(epoch=5))
+    n_first = calls["n"]
+    b2 = list(t_on._batches(epoch=5))  # same plan -> same (clip, frame, flip)
+    assert calls["n"] == n_first
+    bs = int(cfg2.runner.train_batch_size)
+    for x, y in zip(b1, b2):
+        assert x["latent_moments"].shape[0] == bs * F  # one row per frame
+        np.testing.assert_array_equal(x["latent_moments"],
+                                      y["latent_moments"])
+        assert "pixel_values" not in x  # no tone/reward -> pixels dropped
+
+
+def test_video_clip_consistent_flip(clips):
+    """One flip decision per clip: either every frame of the clip is
+    mirrored or none is (a per-frame draw would decorrelate the temporal
+    stream ST-Attn trains on)."""
+    cfg = _cfg("video_16f", extra=["dataset.augment3d.flip_ratio=0.5"])
+    trainer = object.__new__(VideoTrainer)  # only needs cfg + num_frames
+    trainer.cfg = cfg
+    trainer.num_frames = F
+    items = [clips[i] for i in range(2)]
+    seen_flip = seen_noflip = False
+    for seed in range(16):
+        out, flags = trainer._augment_items(
+            items, np.random.default_rng(seed))
+        for clip, orig, fl in zip(out, items, flags):
+            per_frame = [fr is not of for fr, of in zip(clip, orig)]
+            assert all(f == fl for f in per_frame)  # all-or-nothing
+            if fl:  # mirrored images, same shapes
+                np.testing.assert_array_equal(
+                    clip[0]["img"].shape, orig[0]["img"].shape)
+        seen_flip |= any(flags)
+        seen_noflip |= not all(flags)
+    assert seen_flip and seen_noflip
