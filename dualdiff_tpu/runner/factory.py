@@ -25,6 +25,19 @@ def _dtype(cfg) -> jnp.dtype:
             "fp16": jnp.float16}[str(cfg.runner.mixed_precision)]
 
 
+def _remat_min_tokens(cfg, key: str) -> int:
+    """Per-network remat threshold, falling back to the shared key.
+
+    The UNet replays an up path under remat while the ControlNet has none,
+    so their HBM/replay tradeoffs differ (ADVICE r3); `unet_remat_min_tokens`
+    / `controlnet_remat_min_tokens` override the shared `remat_min_tokens`
+    when non-null."""
+    v = cfg.runner.get(key, None)
+    if v is None:
+        v = cfg.runner.get("remat_min_tokens", 0)
+    return int(v)
+
+
 def build_models(cfg, tiny: bool = False) -> Dict:
     """-> dict(unet, controlnets: list, vae, text_encoder, specs, dtype).
 
@@ -68,7 +81,7 @@ def build_models(cfg, tiny: bool = False) -> Dict:
         lora_rank=int(cfg.video.lora_rank)
         if (video and cfg.video.rgd.enable) else 0,
         remat=bool(cfg.runner.enable_unet_checkpointing),
-        remat_min_tokens=int(cfg.runner.get("remat_min_tokens", 0)),
+        remat_min_tokens=_remat_min_tokens(cfg, "unet_remat_min_tokens"),
         dtype=dtype,
     )
 
@@ -97,7 +110,8 @@ def build_models(cfg, tiny: bool = False) -> Dict:
                 c.bbox_embedder_param.class_token_dim),
             use_box_adapter=bool(cfg.use_box_adapter),
             remat=bool(cfg.runner.enable_controlnet_checkpointing),
-            remat_min_tokens=int(cfg.runner.get("remat_min_tokens", 0)),
+            remat_min_tokens=_remat_min_tokens(
+                cfg, "controlnet_remat_min_tokens"),
             dtype=dtype,
         ))
 

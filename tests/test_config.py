@@ -97,3 +97,21 @@ def test_group_selection_does_not_clobber_exp_patches():
         # the re-selected group is otherwise in effect (default, not debug:
         # default leaves max_train_steps null and runs by epochs)
         assert cfg.runner.max_train_steps is None, order
+
+
+def test_per_network_remat_min_tokens():
+    """unet/controlnet_remat_min_tokens override the shared key when set,
+    inherit it when null (ADVICE r3: the two networks' HBM/replay tradeoffs
+    differ — the ControlNet has no up path to replay)."""
+    from dualdiff_tpu.runner.factory import _remat_min_tokens
+
+    cfg = load_config(CONFIG_DIR, overrides=["runner.remat_min_tokens=200"])
+    assert _remat_min_tokens(cfg, "unet_remat_min_tokens") == 200
+    assert _remat_min_tokens(cfg, "controlnet_remat_min_tokens") == 200
+
+    cfg = load_config(CONFIG_DIR, overrides=[
+        "runner.remat_min_tokens=200",
+        "runner.unet_remat_min_tokens=0",
+        "runner.controlnet_remat_min_tokens=5000"])
+    assert _remat_min_tokens(cfg, "unet_remat_min_tokens") == 0
+    assert _remat_min_tokens(cfg, "controlnet_remat_min_tokens") == 5000
