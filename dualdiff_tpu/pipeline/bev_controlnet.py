@@ -7,9 +7,12 @@ design:
 
 * the python per-step loop becomes a ``lax.scan`` (DDIM or UniPC) with CFG
   inside — zero host round-trips across all 20 steps,
-* CFG batch layout matches the reference: uncond first, cond second
-  (``add_uncond_to_kwargs``): uncond half uses the learned uncond camera +
-  null text + zero-masked boxes, shares the conditioning image,
+* CFG semantics match the reference (``add_uncond_to_kwargs``): uncond rows
+  use the learned uncond camera + null text + zero-masked boxes and share
+  the conditioning image — but each sample's (uncond, cond) pair is
+  INTERLEAVED on the batch dim instead of half-block-concatenated, so a
+  data-sharded serving batch partitions with zero collectives (the
+  half-block concat reshuffles rows across devices; see ``cfg2`` below),
 * initial latents are replicated across the 6 views (reference :336-345),
 * VAE decode runs in the same jit program.
 
@@ -177,12 +180,19 @@ class BEVControlNetPipeline:
         conds = compute_branch_conds(models, batch, self.latent_hw,
                                      self.image_hw)
 
-        # CFG batch: [uncond(B); cond(B)] (reference add_uncond_to_kwargs)
-        cam2 = jnp.concatenate([cam, cam])
-        text2 = jnp.concatenate([
-            text, text]) if not aug_text else jnp.concatenate([text, text])
-        switch = jnp.concatenate(
-            [jnp.ones((B, N)), jnp.zeros((B, N))])  # first half -> uncond
+        # CFG batch: sample i's (uncond, cond) rows INTERLEAVED at (2i, 2i+1)
+        # — same math as the reference's [uncond(B); cond(B)] half-block
+        # concat (add_uncond_to_kwargs), but shard-local: concatenating
+        # along a data-sharded batch dim reshuffles rows ACROSS devices
+        # (17.7 GB of lowered all-gathers/permutes per 8-device call plus
+        # 20% per-device FLOP inflation, ``tools/project_scaling.py --gen``),
+        # while interleaving keeps each CFG pair on its sample's shard.
+        def cfg2(u, c):
+            return jnp.stack([u, c], axis=1).reshape(2 * B, *u.shape[1:])
+
+        cam2 = cfg2(cam, cam)
+        text2 = cfg2(text, text)
+        switch = cfg2(jnp.ones((B, N)), jnp.zeros((B, N)))  # 1 -> uncond row
         zero_map_uncond = bool(self.cfg.runner.pipeline_param.get(
             "use_zero_map_as_unconditional", False))
         conds2 = []
@@ -190,9 +200,9 @@ class BEVControlNetPipeline:
             if c is None:
                 conds2.append(None)
             elif zero_map_uncond:  # reference pipeline_param flag
-                conds2.append(jnp.concatenate([jnp.zeros_like(c), c]))
+                conds2.append(cfg2(jnp.zeros_like(c), c))
             else:
-                conds2.append(jnp.concatenate([c, c]))
+                conds2.append(cfg2(c, c))
         boxes2 = {}
         for i in range(len(controlnets)):
             bx = batch.get(f"boxes_{i}")
@@ -200,11 +210,10 @@ class BEVControlNetPipeline:
                 boxes2[i] = None
             else:
                 boxes2[i] = {
-                    "bboxes": jnp.concatenate([bx["bboxes"]] * 2),
-                    "classes": jnp.concatenate([bx["classes"]] * 2),
-                    # uncond half: all-null box tokens (masks=0)
-                    "masks": jnp.concatenate(
-                        [jnp.zeros_like(bx["masks"]), bx["masks"]]),
+                    "bboxes": cfg2(bx["bboxes"], bx["bboxes"]),
+                    "classes": cfg2(bx["classes"], bx["classes"]),
+                    # uncond rows: all-null box tokens (masks=0)
+                    "masks": cfg2(jnp.zeros_like(bx["masks"]), bx["masks"]),
                 }
 
         rng, r_lat = jax.random.split(rng)
@@ -270,9 +279,9 @@ class BEVControlNetPipeline:
             "sequential_cfg", False))
         if seq_cfg:
             def split2(tree):
+                # interleaved layout: uncond rows at 0::2, cond at 1::2
                 return jax.tree_util.tree_map(
-                    lambda a: a.reshape(2, a.shape[0] // 2, *a.shape[1:]),
-                    tree)
+                    lambda a: jnp.stack([a[0::2], a[1::2]]), tree)
 
             halves = split2((cam2, text2, conds2, pre))
 
@@ -284,11 +293,11 @@ class BEVControlNetPipeline:
                 return eps2[0] + guidance_scale * (eps2[1] - eps2[0])
         else:
             def model_fn(x, t):
-                x2 = jnp.concatenate([x, x])  # (2B, N, lh, lw, 4)
+                x2 = cfg2(x, x)  # (2B, N, lh, lw, 4), CFG pairs interleaved
                 t2 = jnp.full((2 * B,), t, jnp.int32)
                 eps = eval_branches(x2, t2, cam2, text2, conds2, pre, 2 * B)
-                eps = eps.reshape(2, B, N, lh, lw, 4)
-                return eps[0] + guidance_scale * (eps[1] - eps[0])
+                eps = eps.reshape(B, 2, N, lh, lw, 4)
+                return eps[:, 0] + guidance_scale * (eps[:, 1] - eps[:, 0])
 
         # Faster-Diffusion-style CN caching (pipeline_param.cn_cache_interval
         # = k > 0, OPT-IN quality tradeoff): the ControlNet branch residuals
@@ -312,7 +321,7 @@ class BEVControlNetPipeline:
         if cn_cache_k > 1 and not seq_cfg:
 
             def _cns(x, t):
-                x2 = jnp.concatenate([x, x])
+                x2 = cfg2(x, x)
                 t2 = jnp.full((2 * B,), t, jnp.int32)
                 return run_cns(x2, t2, cam2, text2, conds2, pre)
 
@@ -324,11 +333,12 @@ class BEVControlNetPipeline:
                 state = jax.lax.cond(
                     i % cn_cache_k == 0,
                     lambda _: _cns(x, t), lambda s: s, state)
-                x2 = jnp.concatenate([x, x])
+                x2 = cfg2(x, x)
                 t2 = jnp.full((2 * B,), t, jnp.int32)
                 eps = run_unet(x2, t2, state, 2 * B)
-                eps = eps.reshape(2, B, N, lh, lw, 4)
-                return eps[0] + guidance_scale * (eps[1] - eps[0]), state
+                eps = eps.reshape(B, 2, N, lh, lw, 4)
+                return (eps[:, 0]
+                        + guidance_scale * (eps[:, 1] - eps[:, 0])), state
 
         base_fn = cached_model_fn if cached_model_fn is not None else model_fn
         if conditional_latents is not None and conditional_mask is not None:

@@ -32,9 +32,17 @@ Projection model (documented, not measured — the table's caveat):
   pass when latency hiding succeeds) — real machines land in between.
 
 Usage:
-  python tools/project_scaling.py [--devices 2,4,8] [--video]
+  python tools/project_scaling.py [--devices 2,4,8] [--video | --gen]
       [--measured-step-s 0.1391] [--measured-tflops 7.01]
       [--ici-gbps 800] [cfg.key=value ...]
+
+``--gen`` projects GENERATION serving scale-out instead of training: it
+compiles the pipeline's probe graph (conditioning + k chained denoise
+evaluations) at k=1 and k=2 per device count and differences them — the
+denoise ``while`` body appears once in both cost analysis and the HLO text,
+so the full generate graph cannot be read directly.  Per-call totals are
+reconstructed as ``k1 + (steps-1) x (k2 - k1)``; the throughput anchor is
+the measured single-chip bench call (0.981 fps at B=2, BENCH_r04 era).
 """
 
 from __future__ import annotations
@@ -201,6 +209,72 @@ def _abstract_step(cfg, mesh, video: bool):
     return step, (state, frozen, batch, rng_in)
 
 
+def _abstract_gen(cfg, mesh, probe_steps: int):
+    """Build (jitted_probe, abstract_args) for the GENERATION path — the
+    pipeline's ``probe_steps`` chained denoise evaluations (conditioning
+    precompute + k model_fn calls; ``pipeline/bev_controlnet.py:298-307``).
+    Compiling at k=2 and k=1 and differencing isolates ONE denoise step's
+    per-device FLOPs and collectives (a while-loop body is counted once by
+    both cost analysis and the HLO text, so the full generate graph cannot
+    be read directly)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dualdiff_tpu.data.collate import collate_fn
+    from dualdiff_tpu.data.synthetic import SyntheticNuScenes
+    from dualdiff_tpu.data.tokenizer import build_tokenizer
+    from dualdiff_tpu.diffusion.schedule import DiffusionSchedule
+    from dualdiff_tpu.ops.attention import set_neighbor_pin_mesh
+    from dualdiff_tpu.parallel.mesh import batch_shardings, replicate
+    from dualdiff_tpu.pipeline.bev_controlnet import BEVControlNetPipeline
+    from dualdiff_tpu.runner.factory import build_models
+    from dualdiff_tpu.runner.trainer import init_full_params, prepare_batch
+
+    set_neighbor_pin_mesh(mesh)
+    models = build_models(cfg, tiny=False)
+    tokenizer = build_tokenizer(str(cfg.model.pretrained_model_name_or_path))
+    h, w = cfg.dataset.image_size
+    latent_hw = (h // 8, w // 8)
+    image_hw = tuple(cfg.model.get("ors_frame_hw", (896, 1600)))
+    B = int(cfg.runner.train_batch_size)
+    rng = np.random.default_rng(0)
+    ds = SyntheticNuScenes(num_samples=max(2, B), image_size=(h, w))
+    host = prepare_batch(collate_fn(
+        [ds[i] for i in range(B)], cfg, tokenizer, rng=rng))
+
+    params = init_full_params(cfg, models, host, latent_hw, image_hw,
+                              tokenizer, abstract=True)
+    cdtype = models["dtype"]
+    repl = replicate(mesh)
+    # inference weights in compute precision, replicated (bench.py path)
+    params = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(
+            x.shape,
+            cdtype if jnp.issubdtype(x.dtype, jnp.floating) else x.dtype,
+            sharding=repl), params)
+    pipe = BEVControlNetPipeline(cfg, models, None,
+                                 DiffusionSchedule.create(),
+                                 cast_params=False)
+    pp = cfg.runner.pipeline_param
+    fn = jax.jit(functools.partial(
+        pipe._generate_impl,
+        num_inference_steps=int(pp.num_inference_steps),
+        guidance_scale=float(pp.guidance_scale),
+        scheduler=str(pp.get("scheduler", "unipc")),
+        conditioning_scale=float(pp.controlnet_conditioning_scale),
+        probe_steps=probe_steps))
+    batch = jax.tree_util.tree_map(
+        lambda x, s: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=s),
+        host, batch_shardings(host, mesh), is_leaf=lambda x: x is None)
+    rng_in = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=repl),
+        jax.eval_shape(lambda: jax.random.PRNGKey(0)))
+    return fn, (params, batch, rng_in, None, None)
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
 
@@ -216,7 +290,11 @@ def main(argv=None):
     force_view = flag("--view", None)  # mesh view-axis size (default: 2
     # when it divides — the shipped dryrun layout; 1 = pure data parallel)
     video = "--video" in argv and (argv.remove("--video") or True)
-    measured_s = float(flag("--measured-step-s", "0.1391"))
+    gen = "--gen" in argv and (argv.remove("--gen") or True)
+    # gen anchor: the measured 224x400 generate call (bench.py r4 headline,
+    # B=2 frames, UniPC-20 + CFG + VAE decode: 2.039 s = 0.981 fps/chip)
+    measured_s = float(flag("--measured-step-s",
+                            "2.039" if gen else "0.1391"))
     measured_tf = float(flag("--measured-tflops", "7.01"))
     ici_gbps = float(flag("--ici-gbps", "800"))  # 100 GB/s one-axis budget
     w_ici = ici_gbps / 8 * 1e9  # bytes/s
@@ -236,27 +314,61 @@ def main(argv=None):
     # counting difference.  Without an n=1 row, falls back to measured_tf.
     for n in devices:
         view = (1 if n == 1 else int(force_view) if force_view
-                else (2 if n % 2 == 0 else 1))
+                else (1 if gen else 2) if n % 2 == 0 else 1)
         data = n // view
-        base = ["+exp=video_16f"] if video else [
-            "+exp=dual_branch_augloss_fusion",
-            "runner.cache_conditioning=true"]
+        if gen:
+            # per-chip generation batch = the measured-optimal 2 frames
+            base = ["+exp=dual_branch_augloss_fusion"]
+            bsz = 2 * data
+        else:
+            base = ["+exp=video_16f"] if video else [
+                "+exp=dual_branch_augloss_fusion",
+                "runner.cache_conditioning=true"]
+            bsz = data
         cfg = load_config("configs", overrides=base + [
             "dataset=Nuscenes_synthetic",
             "runner.max_train_steps=1000",
-            f"runner.train_batch_size={data}",  # per-chip batch constant
+            f"runner.train_batch_size={bsz}",  # per-chip batch constant
         ] + overrides)
         mesh = create_mesh(data=data, view=view,
                            devices=jax.devices()[:n])
         print(f"# lowering + compiling n={n} mesh={dict(mesh.shape)} "
               f"(abstract, full scale)...", flush=True)
-        step, args = _abstract_step(cfg, mesh, video)
-        compiled = step.lower(*args).compile()
-        cost = compiled.cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        flops_dev = float(cost.get("flops", 0.0))
-        colls = _collective_stats(compiled.as_text())
+        if gen:
+            # two probe compiles: k=2 minus k=1 isolates one denoise step;
+            # the k=1 graph carries the conditioning precompute
+            steps = int(cfg.runner.pipeline_param.num_inference_steps)
+            fc, cc = [], []
+            for k in (1, 2):
+                fn, args = _abstract_gen(cfg, mesh, probe_steps=k)
+                compiled = fn.lower(*args).compile()
+                cost = compiled.cost_analysis()
+                if isinstance(cost, (list, tuple)):
+                    cost = cost[0]
+                fc.append(float(cost.get("flops", 0.0)))
+                cc.append(_collective_stats(compiled.as_text()))
+            step_flops = fc[1] - fc[0]
+            flops_dev = fc[0] + (steps - 1) * step_flops
+            # per-call collectives = k1 graph + (steps-1) x the per-step
+            # multiset difference (k2 minus k1 by (op, bytes, group))
+            from collections import Counter
+            c1 = Counter((t[0], t[1], t[2]) for t in cc[0])
+            step_ops = []
+            for t in cc[1]:
+                key = (t[0], t[1], t[2])
+                if c1[key] > 0:
+                    c1[key] -= 1
+                else:
+                    step_ops.append(t)
+            colls = cc[0] + (steps - 1) * step_ops
+        else:
+            step, args = _abstract_step(cfg, mesh, video)
+            compiled = step.lower(*args).compile()
+            cost = compiled.cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            flops_dev = float(cost.get("flops", 0.0))
+            colls = _collective_stats(compiled.as_text())
         factors = {"all-reduce": lambda k: 2 * (k - 1) / k,
                    "all-gather": lambda k: (k - 1) / k,
                    "reduce-scatter": lambda k: (k - 1) / k,
@@ -286,10 +398,12 @@ def main(argv=None):
             "step_s_no_overlap": round(t_comp + comm_s, 4),
             "step_s_full_overlap": round(max(t_comp, comm_s), 4),
             # total images per step = 6 * data (per-chip-batch held at 1
-            # sample per data row); spread over n = data*view chips
-            "imgs_per_s_per_chip_bounds": [
-                round(6 / view / (t_comp + comm_s), 2),
-                round(6 / view / max(t_comp, comm_s), 2)],
+            # sample per data row); spread over n = data*view chips.
+            # gen: 2 six-view frames per data row per call (bench layout)
+            ("frames_per_s_per_chip_bounds" if gen
+             else "imgs_per_s_per_chip_bounds"): [
+                round((2 if gen else 6) / view / (t_comp + comm_s), 3),
+                round((2 if gen else 6) / view / max(t_comp, comm_s), 3)],
             "top_collectives": [
                 {"op": op, "mb": round(b / 1e6, 1), "group": g, "src": src}
                 for op, b, g, src in top],
@@ -304,6 +418,7 @@ def main(argv=None):
                    if flops_n1 else None},
         "ici_gbps_budget": ici_gbps,
         "video": video,
+        "gen": gen,
         "rows": rows,
     }))
 
