@@ -338,11 +338,14 @@ class UNet2DConditionMultiview(nn.Module):
         return x
 
 
-NEW_PARAM_MARKERS = ("attn4", "norm4", "connector", "temporal", "attn_temporal")
+NEW_PARAM_MARKERS = ("attn4", "norm4", "connector", "temporal",
+                     "attn_temporal", "lora")
 
 
 def is_new_multiview_param(path: Tuple[str, ...]) -> bool:
     """True for params introduced by the multiview/video surgery — the set
     trained under ``trainable_state='only_new'`` (reference
-    ``unet_2d_condition_multiview.py:237-252``)."""
+    ``unet_2d_condition_multiview.py:237-252``) plus the RGD stage-2 LoRA
+    adapters (absent from SD checkpoints; configs with ``only_new`` have
+    lora_rank=0, so the marker never widens that trainable set)."""
     return any(any(m in part for m in NEW_PARAM_MARKERS) for part in path)

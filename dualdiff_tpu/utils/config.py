@@ -27,7 +27,35 @@ from typing import Any, Dict, List, Optional
 
 import yaml
 
-__all__ = ["ConfigNode", "load_config", "to_dict", "merge", "save_config"]
+__all__ = ["ConfigNode", "load_config", "to_dict", "merge", "save_config",
+           "pop_config_name"]
+
+
+def pop_config_name(overrides: List[str], default: str = "config"):
+    """Strip hydra's ``--config-name NAME`` / ``--config-name=NAME`` / ``-cn``
+    from a CLI override list (reference tools run e.g. ``--config-name
+    test_config`` to start from the canned eval presets,
+    ``configs/test_config.yaml``).  Returns ``(name, remaining_overrides)``.
+    """
+    name = default
+    rest: List[str] = []
+    i = 0
+    while i < len(overrides):
+        tok = overrides[i]
+        if tok in ("--config-name", "-cn"):
+            if i + 1 >= len(overrides):
+                raise ValueError(f"{tok} needs a value")
+            name = overrides[i + 1]
+            i += 2
+            continue
+        if tok.startswith("--config-name="):
+            name = tok.split("=", 1)[1]
+        elif tok.startswith("-cn="):
+            name = tok.split("=", 1)[1]
+        else:
+            rest.append(tok)
+        i += 1
+    return name, rest
 
 
 class ConfigNode(dict):

@@ -107,6 +107,28 @@ def test_pipeline_generate_and_given_view(vanilla, ds):
     assert np.abs(np.asarray(imgs2) - arr).max() > 1e-6
 
 
+def test_sequential_cfg_matches_batched(vanilla, ds):
+    """sequential_cfg evaluates the CFG halves one after the other without
+    changing the output.  Regression for ADVICE r4 high #1: the precomputed
+    conditioning leaves carry the CFG batch flattened with the view axis
+    (leading dim 2B*N) — splitting them with a stride-2 row slice selects
+    even/odd VIEWS across both CFG rows and feeds each half scrambled,
+    cond/uncond-mixed conditioning."""
+    params = merge_params(jax.device_get(vanilla.state["params"]),
+                          jax.device_get(vanilla.frozen))
+    batch = collate_fn([ds[0], ds[1]], vanilla.cfg, vanilla.tokenizer,
+                       is_train=False, rng=np.random.default_rng(0))
+    ref = np.asarray(BEVControlNetPipeline(
+        vanilla.cfg, vanilla.models, params, vanilla.schedule)(
+            batch, jax.random.PRNGKey(0)))
+    cfg_seq = _cfg("224x400",
+                   extra=["runner.pipeline_param.sequential_cfg=true"])
+    got = np.asarray(BEVControlNetPipeline(
+        cfg_seq, vanilla.models, params, vanilla.schedule)(
+            batch, jax.random.PRNGKey(0)))
+    np.testing.assert_allclose(got, ref, atol=2e-2)
+
+
 def test_conditioning_cache_matches_uncached_step(ds, tmp_path_factory):
     """runner.cache_conditioning precomputes VAE moments + ORS rays per
     (sample, flip) and the step consumes them: the loss stream matches the

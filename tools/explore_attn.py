@@ -27,14 +27,15 @@ from dualdiff_tpu.runner.trainer import (
     compute_branch_conds,
     prepare_batch,
 )
-from dualdiff_tpu.utils.config import load_config
+from dualdiff_tpu.utils.config import load_config, pop_config_name
 
 
 def main(argv=None):
     overrides = list(argv if argv is not None else sys.argv[1:])
+    config_name, overrides = pop_config_name(overrides)
     cfg = load_config(
         os.path.join(os.path.dirname(__file__), "..", "configs"),
-        overrides=overrides)
+        name=config_name, overrides=overrides)
     out_dir = str(cfg.get("explore_out", "./attn_maps"))
     t_probe = int(cfg.get("explore_t", 500))
     os.makedirs(out_dir, exist_ok=True)

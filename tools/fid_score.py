@@ -184,11 +184,12 @@ def main(argv=None):
     from functools import partial
 
     from dualdiff_tpu.data.wrappers import build_dataset
-    from dualdiff_tpu.utils.config import load_config
+    from dualdiff_tpu.utils.config import load_config, pop_config_name
 
+    config_name, argv = pop_config_name(argv)
     cfg = load_config(
         os.path.join(os.path.dirname(__file__), "..", "configs"),
-        overrides=argv)
+        name=config_name, overrides=argv)
     fid_cfg = cfg.get("fid", {})
     rootb = fid_cfg.get("rootb") or cfg.get("fid_rootb")
     assert rootb, "config mode needs fid.rootb=<generated samples dir>"

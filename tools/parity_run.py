@@ -83,11 +83,15 @@ def main(argv=None):
     ap.add_argument("--synthetic", action="store_true",
                     help="offline dry-run: synthetic SD tree + synthetic "
                     "dataset + fallback FID features")
+    ap.add_argument("--exp", default="+exp=dual_branch_augloss_fusion",
+                    help="experiment overlay for --synthetic (dry-run "
+                    "matrix covers +exp=224x400, +exp-hd=256x704, "
+                    "+exp=video_16f, +exp=rgd_stage2 — VERDICT r4 #5)")
     args, overrides = ap.parse_known_args(argv)
     os.makedirs(args.workdir, exist_ok=True)
 
     if args.synthetic:
-        overrides = ["+exp=dual_branch_augloss_fusion", "runner=debug",
+        overrides = [args.exp, "runner=debug",
                      "dataset=Nuscenes_synthetic", "tiny_models=true",
                      "dataset.image_size=[32,48]", "dataset.num_samples=4",
                      *overrides]
@@ -104,6 +108,7 @@ def main(argv=None):
         os.path.join(os.path.dirname(__file__), "..", "configs"),
         overrides=overrides)
     tiny = bool(cfg.get("tiny_models", False))
+    video = bool(cfg.get("use_video"))
 
     # ---------------------------------------------------- 1. IMPORT ------
     import tools.import_weights as iw
@@ -111,6 +116,12 @@ def main(argv=None):
     imported_dir = os.path.join(args.workdir, "imported")
     # tiny dry-run models cannot host full SD weights — import at full size
     import_overrides = [o for o in overrides if "tiny_models" not in o]
+    if video:
+        # the importer's shape-probing init runs one sample x 6 views; a
+        # multi-frame ST-Attn fold cannot divide that batch.  One frame
+        # keeps the module set (use_video still builds temporal/ST-Attn
+        # params) so the imported key coverage is unchanged.
+        import_overrides.append("video.num_frames=1")
     report = iw.main(["--src", args.sd, "--out", imported_dir,
                       *import_overrides])
     from dualdiff_tpu.models.unet import is_new_multiview_param
@@ -150,9 +161,18 @@ def main(argv=None):
     tokenizer = build_tokenizer(str(cfg.model.pretrained_model_name_or_path))
     val = build_dataset(cfg, "val")
     h, w = cfg.dataset.image_size
-    example = prepare_batch(collate_fn([val[0]], cfg, tokenizer,
-                                       is_train=False,
-                                       rng=np.random.default_rng(0)))
+    # video configs (use_video: +exp=video_16f / rgd_stage2): items are
+    # CLIPS (lists of frame dicts) and collate flattens frame-outer
+    if video:
+        from dualdiff_tpu.data.video import collate_video
+
+        def coll(items, rng):
+            return collate_video(items, cfg, tokenizer, is_train=False,
+                                 rng=rng)
+    else:
+        def coll(items, rng):
+            return collate_fn(items, cfg, tokenizer, is_train=False, rng=rng)
+    example = prepare_batch(coll([val[0]], np.random.default_rng(0)))
     params = init_full_params(cfg, models, example, (h // 8, w // 8),
                               tuple(cfg.model.get("ors_frame_hw",
                                                   (896, 1600))), tokenizer)
@@ -195,21 +215,24 @@ def main(argv=None):
     n_tok = min(args.num_tokens, len(val))
     for idx in range(n_tok):
         sample = val[idx]
-        batch = collate_fn([sample], cfg, tokenizer, is_train=False,
-                           rng=np.random.default_rng(int(cfg.seed) + idx))
+        batch = coll([sample], np.random.default_rng(int(cfg.seed) + idx))
         imgs = np.asarray(
             pipe(batch, jax.random.PRNGKey(int(cfg.seed) + idx)))
+        frames = [f for f in (sample if video else [sample])]
         if not np.isfinite(imgs).all():
             fail("generate", f"non-finite pixels for token "
-                 f"{sample['token']}")
+                 f"{frames[0]['token']}")
         if imgs.min() < -1e-3 or imgs.max() > 1 + 1e-3:
-            fail("generate", f"pixels out of [0,1] for {sample['token']}")
-        for v, cam in enumerate(view_order):
-            p = os.path.join(gen_root, cam,
-                             f"{sample['token']}_{cam}.png")
-            os.makedirs(os.path.dirname(p), exist_ok=True)
-            postprocess(imgs[0, v], tuple(cfg.dataset.back_resize),
-                        tuple(cfg.dataset.back_pad)).save(p)
+            fail("generate",
+                 f"pixels out of [0,1] for {frames[0]['token']}")
+        # video: imgs is (F, 6, h, w, 3) — one row per frame of the clip
+        for fi, fr in enumerate(frames):
+            for v, cam in enumerate(view_order):
+                p = os.path.join(gen_root, cam,
+                                 f"{fr['token']}_{cam}.png")
+                os.makedirs(os.path.dirname(p), exist_ok=True)
+                postprocess(imgs[fi, v], tuple(cfg.dataset.back_resize),
+                            tuple(cfg.dataset.back_pad)).save(p)
     print(f"PARITY [generate] {n_tok} tokens x {len(view_order)} views "
           f"-> {gen_root}")
 

@@ -39,8 +39,12 @@ def main():
     from dualdiff_tpu.utils.xplane import summarize_trace
 
     B = int(os.environ.get("BENCH_BATCH", "2"))
+    # BENCH_OVERLAY=+exp-hd=256x704 traces the HD geometries with the same
+    # semantics as bench.py (VERDICT r4 #3: split capped-kernel time from
+    # image-res conv/VAE HBM time at 256x704)
+    overlay = os.environ.get("BENCH_OVERLAY", "+exp=dual_branch_augloss_fusion")
     cfg = load_config("configs", overrides=[
-        "+exp=dual_branch_augloss_fusion",
+        overlay,
         "dataset=Nuscenes_synthetic",
         f"dataset.num_samples={max(B, 2)}",
         "runner.pipeline_param.num_inference_steps=20",

@@ -295,7 +295,12 @@ def main(argv=None):
     # B=2 frames, UniPC-20 + CFG + VAE decode: 2.039 s = 0.981 fps/chip)
     measured_s = float(flag("--measured-step-s",
                             "2.039" if gen else "0.1391"))
-    measured_tf = float(flag("--measured-tflops", "7.01"))
+    # fallback TF for scaling when no n=1 row anchors the ratio: the mode's
+    # OWN measured per-call total (gen: 212.98 TF full 20-step call incl.
+    # VAE decode, RESULTS.md r3; train: 7.01 TF/step) — a single default
+    # across modes inflated gen projections ~30x (ADVICE r4 low)
+    measured_tf = float(flag("--measured-tflops",
+                             "212.98" if gen else "7.01"))
     ici_gbps = float(flag("--ici-gbps", "800"))  # 100 GB/s one-axis budget
     w_ici = ici_gbps / 8 * 1e9  # bytes/s
     overrides = [a for a in argv if "=" in a and not a.startswith("-")]
@@ -382,6 +387,15 @@ def main(argv=None):
         if flops_n1:
             t_comp = measured_s * (flops_dev / flops_n1)
         else:
+            if gen:
+                # the gen probe returns before VAE decode, so flops_dev
+                # undercounts vs the 212.98 TF anchor (which includes it);
+                # the n=1 self-ratio cancels that — the absolute fallback
+                # can't (ADVICE r4 low)
+                print("# WARNING: --gen without an n=1 row in --devices: "
+                      "t_compute scales probe FLOPs (no VAE decode) against "
+                      "the full-call anchor — add n=1 for a self-cancelling "
+                      "ratio", file=sys.stderr, flush=True)
             t_comp = measured_s * (flops_dev / (measured_tf * 1e12))
         by_op = {}
         for op, b, g, _ in colls:
@@ -411,7 +425,11 @@ def main(argv=None):
         print(json.dumps(rows[-1]), flush=True)
     print(json.dumps({
         "method": "AOT SPMD compile on virtual devices; compute anchored to "
-                  "measured single-chip step; ring-factor collective model",
+                  "measured single-chip step; ring-factor collective model"
+                  + ("; gen probe FLOPs/collectives exclude the VAE decode "
+                     "that the measured anchor time includes (cancelled by "
+                     "the n=1 ratio when an n=1 row is present)" if gen
+                     else ""),
         "anchor": {"measured_step_s": measured_s,
                    "measured_tflops": measured_tf,
                    "cpu_n1_tflops": round(flops_n1 / 1e12, 3)

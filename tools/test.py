@@ -22,7 +22,7 @@ from dualdiff_tpu.pipeline.bev_controlnet import BEVControlNetPipeline
 from dualdiff_tpu.runner.trainer import MultiviewTrainer
 from dualdiff_tpu.runner.train_state import merge_params
 from dualdiff_tpu.runner.validator import concat_6_views
-from dualdiff_tpu.utils.config import load_config
+from dualdiff_tpu.utils.config import load_config, pop_config_name
 
 
 def compose_from_checkpoint(overrides):
@@ -30,6 +30,7 @@ def compose_from_checkpoint(overrides):
     overrides, re-compose with them first (checkpoint config wins base)."""
     import yaml
 
+    config_name, overrides = pop_config_name(overrides)
     cfg_dir = os.path.join(os.path.dirname(__file__), "..", "configs")
     resume = next((o.split("=", 1)[1] for o in overrides
                    if o.startswith("resume_from_checkpoint=")), None)
@@ -40,7 +41,7 @@ def compose_from_checkpoint(overrides):
         if os.path.exists(p):
             with open(p) as f:
                 saved = yaml.safe_load(f) or []
-    return load_config(cfg_dir, overrides=saved + overrides)
+    return load_config(cfg_dir, name=config_name, overrides=saved + overrides)
 
 
 def main(argv=None):

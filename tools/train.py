@@ -17,7 +17,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from dualdiff_tpu.data.wrappers import build_dataset
 from dualdiff_tpu.runner.validator import Validator
 from dualdiff_tpu.utils.common import load_module
-from dualdiff_tpu.utils.config import load_config, save_config
+from dualdiff_tpu.utils.config import (load_config, pop_config_name,
+                                       save_config)
 
 
 def main(argv=None):
@@ -29,9 +30,10 @@ def main(argv=None):
 
         jax.distributed.initialize()
     overrides = list(argv if argv is not None else sys.argv[1:])
+    config_name, overrides = pop_config_name(overrides)
     cfg = load_config(
         os.path.join(os.path.dirname(__file__), "..", "configs"),
-        overrides=overrides)
+        name=config_name, overrides=overrides)
     if not cfg.log_root:
         cfg.log_root = os.path.join(
             str(cfg.log_root_prefix),

@@ -24,7 +24,7 @@ from dualdiff_tpu.data.wrappers import build_dataset
 from dualdiff_tpu.pipeline.bev_controlnet import BEVControlNetPipeline
 from dualdiff_tpu.runner.trainer import MultiviewTrainer
 from dualdiff_tpu.runner.train_state import merge_params
-from dualdiff_tpu.utils.config import load_config
+from dualdiff_tpu.utils.config import load_config, pop_config_name
 
 
 def postprocess(img: np.ndarray, back_resize, back_pad) -> "Image":
@@ -51,9 +51,10 @@ def postprocess(img: np.ndarray, back_resize, back_pad) -> "Image":
 
 def main(argv=None):
     overrides = list(argv if argv is not None else sys.argv[1:])
+    config_name, overrides = pop_config_name(overrides)
     cfg = load_config(
         os.path.join(os.path.dirname(__file__), "..", "configs"),
-        overrides=overrides)
+        name=config_name, overrides=overrides)
     out_root = os.path.join(str(cfg.log_root or "."), "val_set_gen", "samples")
     os.makedirs(out_root, exist_ok=True)
     shard = int(cfg.get("gen_shard", 0))
