@@ -219,10 +219,14 @@ def main_video():
     from dualdiff_tpu.utils.config import load_config
 
     frames = int(os.environ.get("BENCH_FRAMES", "16"))
+    # operating-point knobs for the r5 sweep (RESULTS.md video table):
+    # sequential_cfg=true + vae_slicing=12 is the shipped default
+    seq = os.environ.get("BENCH_SEQ_CFG", "1") != "0"
+    slicing = int(os.environ.get("BENCH_VAE_SLICING", "12"))
     cfg = load_config("configs", overrides=[
         "+exp=video_16f", f"video.num_frames={frames}",
-        "runner.pipeline_param.vae_slicing=12",
-        "runner.pipeline_param.sequential_cfg=true"])
+        f"runner.pipeline_param.vae_slicing={slicing}",
+        f"runner.pipeline_param.sequential_cfg={'true' if seq else 'false'}"])
     clips = SyntheticNuScenesVideo(num_clips=2, num_frames=frames,
                                    image_size=(224, 400))
     print("# building video models + params (jit on device)...", flush=True)

@@ -33,6 +33,15 @@ __all__ = ["mha_einsum", "flash_attention", "multi_head_attention",
 
 _NEG_INF = -1e30
 
+# Inference routing: queries >= this take the channel-packed transposed
+# kernel; shorter ones stay on einsum.  1024 is the r3-measured threshold
+# for the IMAGE batch sizes (24 rows); video evals run 96-192 rows where
+# the einsum path must materialize ~750 MB f32 score tensors per 350-token
+# layer, so the r5 video sweep re-measures via this env knob.
+import os as _os
+
+_PACKED_MIN_LQ = int(_os.environ.get("DUALDIFF_PACKED_MIN_LQ", "1024"))
+
 # ---------------------------------------------------------------- flops --
 # XLA's cost analysis scores Pallas custom-calls as 0 FLOPs, so step-MFU
 # computed from ``cost_analysis()`` alone understates and is NOT comparable
@@ -505,11 +514,20 @@ def _fwd_kernel_t_capped(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
         o_ref[0] = (acc_ref[...] / l_ref[...]).astype(o_ref.dtype)
 
 
-def _packed_infer_capped(q, k, v, scale, heads, lens, block_k=512):
+_CAPPED_BLOCK_K = int(_os.environ.get("DUALDIFF_CAPPED_BLOCK_K", "512"))
+
+
+def _packed_infer_capped(q, k, v, scale, heads, lens,
+                         block_k=None):
     """Transposed-layout inference with K/V grid-blocking (whole-q tile).
 
     block_k=512 is the measured optimum at the over-cap shapes (r4 sweep
-    at ST-Attn 1400x2800 and exp-hd 2816x2816; 256 and 1024 both lose)."""
+    at ST-Attn 1400x2800 and exp-hd 2816x2816; 256 and 1024 both lose).
+    Env DUALDIFF_CAPPED_BLOCK_K overrides for sweeps — at lk=2800 a 512
+    block pads K/V to 3072 (22 ms x 8 of zero-copy per video clip, r5
+    trace) where 256 pads only to 2816."""
+    if block_k is None:
+        block_k = _CAPPED_BLOCK_K
     lq, lk = lens
     b, _, c = q.shape
     d = c // heads
@@ -996,6 +1014,42 @@ def _einsum_packed(q, k, v, scale, heads):
                       scale=scale).reshape(b, lq, c)
 
 
+# frame-axis (temporal) attention: sequences this short take the
+# head-PACKED path — per-head (f x f) score matmuls would run the MXU at
+# 16/128 occupancy across tens of thousands of batch rows
+_HEADPACK_MAX_LQ = 32
+
+
+def _einsum_headpacked(q, k, v, scale, heads):
+    """Tiny-sequence self-attention (video temporal attn: lq = frames <= 32)
+    with all heads PACKED into one MXU tile.
+
+    The per-head formulation lowers to b*heads batched (f, d) x (d, f)
+    matmuls — at f=16, d=40 that is 67k 16x40x16 dots (measured 20 GFLOP/s,
+    1.35 ms per layer eval in the r5 video trace).  Packing the 8 heads'
+    frames along one axis gives a single (heads*f, d) x (d, heads*f) dot
+    per row — a full 128-wide MXU tile at f=16 — and a block-diagonal mask
+    restricts the softmax to each head's own (f x f) block, so the math is
+    exactly per-head attention; the discarded cross-head logits are free
+    relative to the layout win."""
+    b, f, c = q.shape
+    d = c // heads
+    hf = heads * f
+
+    def pack(t):  # (b, f, h*d) -> (b, h*f, d)
+        return (t.reshape(b, f, heads, d).swapaxes(1, 2)
+                .reshape(b, hf, d))
+
+    qp, kp, vp = pack(q), pack(k), pack(v)
+    s = jnp.einsum("bpd,bqd->bpq", qp, kp,
+                   preferred_element_type=jnp.float32) * scale
+    blk = jnp.arange(hf) // f
+    s = jnp.where(blk[:, None] == blk[None, :], s, _NEG_INF)
+    a = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+    o = jnp.einsum("bpq,bqd->bpd", a, vp)
+    return o.reshape(b, heads, f, d).swapaxes(1, 2).reshape(b, f, c)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _flash_packed(q, k, v, scale, heads, lens):
     # primal (non-differentiated) = inference: transposed-layout kernel
@@ -1062,7 +1116,10 @@ def attention_packed(
     d = c // heads
     if scale is None:
         scale = 1.0 / math.sqrt(d)
-    if _tracing_on_tpu() and lq >= 1024 and d % 8 == 0:
+    if lq == k.shape[1] and lq <= _HEADPACK_MAX_LQ:
+        # temporal (frame-axis) self-attention
+        return _einsum_headpacked(q, k, v, scale, heads)
+    if _tracing_on_tpu() and lq >= _PACKED_MIN_LQ and d % 8 == 0:
         return _flash_packed(q, k, v, float(scale), heads,
                              (lq, k.shape[1]))
     return _einsum_packed(q, k, v, scale, heads)

@@ -340,3 +340,39 @@ def test_numerics_pin_trips_on_perturbation(tmp_path):
     broken = output_stats(arr * 1.25 + 0.1)
     res = check_pin(broken, "tpu/gen", pin_file=pin_file)
     assert res["status"] == "drift" and "mean" in res["drift"]
+
+
+def test_headpacked_temporal_attention_matches_einsum():
+    """The head-packed tiny-sequence path (video temporal attention — all
+    heads folded into one MXU tile with a block-diagonal mask) is exactly
+    per-head attention, forward and backward."""
+    from dualdiff_tpu.ops.attention import (_einsum_headpacked, attention_packed,
+                                            mha_einsum)
+
+    b, f, h, d = 7, 16, 8, 40
+    c = h * d
+    rng = np.random.default_rng(3)
+    q, k, v = (jnp.asarray(rng.standard_normal((b, f, c)), jnp.float32)
+               for _ in range(3))
+    ref = mha_einsum(q.reshape(b, f, h, d), k.reshape(b, f, h, d),
+                     v.reshape(b, f, h, d)).reshape(b, f, c)
+    got = _einsum_headpacked(q, k, v, d ** -0.5, h)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+    # routed through the public entry point for tiny equal-length sequences
+    got2 = attention_packed(q, k, v, h)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+    # gradients flow and match the einsum reference
+    def loss(fn):
+        return lambda a, b_, c_: jnp.sum(jnp.sin(fn(a, b_, c_)))
+
+    g_ref = jax.grad(loss(lambda a, b_, c_: mha_einsum(
+        a.reshape(b, f, h, d), b_.reshape(b, f, h, d),
+        c_.reshape(b, f, h, d)).reshape(b, f, c)), argnums=(0, 1, 2))(q, k, v)
+    g_got = jax.grad(loss(lambda a, b_, c_: _einsum_headpacked(
+        a, b_, c_, d ** -0.5, h)), argnums=(0, 1, 2))(q, k, v)
+    for a, bb in zip(g_got, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   atol=2e-4, rtol=2e-4)
