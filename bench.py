@@ -429,8 +429,10 @@ def main_video_train():
     steps = int(os.environ.get("BENCH_TRAIN_STEPS", "20"))
     frames = int(os.environ.get("BENCH_FRAMES", "2"))
     cache = os.environ.get("BENCH_CACHE_COND", "1") != "0"
+    # BENCH_VIDEO_EXP=rgd_stage2 benches the stage-2 LoRA+reward step
+    exp = os.environ.get("BENCH_VIDEO_EXP", "video_16f")
     cfg = load_config("configs", overrides=[
-        "+exp=video_16f", f"video.num_frames={frames}",
+        f"+exp={exp}", f"video.num_frames={frames}",
         # fixed: LR-schedule constants are baked into the step HLO
         "runner.max_train_steps=1000",
         "runner.num_workers=0",
@@ -467,7 +469,7 @@ def main_video_train():
     flops_corr = (flops + kernel_flops) if flops else None
 
     result = {
-        "metric": f"video train {frames}-frame 6-view clips/sec/chip "
+        "metric": f"video train [{exp}] {frames}-frame 6-view clips/sec/chip "
                   "(224x400, ST-Attn+temporal, dual-branch, full SD scale"
                   f"{', conditioning cache' if cache else ''})",
         "value": round(1.0 / dt, 4),

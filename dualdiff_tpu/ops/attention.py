@@ -514,20 +514,35 @@ def _fwd_kernel_t_capped(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
         o_ref[0] = (acc_ref[...] / l_ref[...]).astype(o_ref.dtype)
 
 
-_CAPPED_BLOCK_K = int(_os.environ.get("DUALDIFF_CAPPED_BLOCK_K", "512"))
+_CAPPED_BLOCK_K = int(_os.environ.get("DUALDIFF_CAPPED_BLOCK_K", "0"))
+# per-block (lq_p x block_k) f32 score-tile budget; 512 at lq_p=5248
+# (10.7 MB, exp-hd 432x768) is the largest tile hardware-validated (r4)
+_CAPPED_SCORE_BYTES = 11 * 2 ** 20
+
+
+def _capped_block_k(lq_p: int) -> int:
+    """K/V block for the capped kernel: the largest measured-good block
+    whose score tile fits VMEM.  r5 video sweep at ST-Attn 1400x2800:
+    1408 (two K blocks, pad 2800->2816) 24.39 s/clip vs 512 (pad->3072,
+    22 ms x 8 of zero-copies) 24.89 s — +2.0%; 256 in between.  At the
+    exp-hd query lengths (lq_p 2816/5248) a 1408 block's score tile is
+    16-30 MB, over VMEM — 512 stays the r4-measured optimum there."""
+    if _CAPPED_BLOCK_K:
+        return _CAPPED_BLOCK_K
+    for bk in (1408, 512, 256):
+        if lq_p * bk * 4 <= _CAPPED_SCORE_BYTES:
+            return bk
+    return 128
 
 
 def _packed_infer_capped(q, k, v, scale, heads, lens,
                          block_k=None):
     """Transposed-layout inference with K/V grid-blocking (whole-q tile).
 
-    block_k=512 is the measured optimum at the over-cap shapes (r4 sweep
-    at ST-Attn 1400x2800 and exp-hd 2816x2816; 256 and 1024 both lose).
-    Env DUALDIFF_CAPPED_BLOCK_K overrides for sweeps — at lk=2800 a 512
-    block pads K/V to 3072 (22 ms x 8 of zero-copy per video clip, r5
-    trace) where 256 pads only to 2816."""
+    block_k: default adapts to the query length (``_capped_block_k``);
+    DUALDIFF_CAPPED_BLOCK_K forces a value for sweeps."""
     if block_k is None:
-        block_k = _CAPPED_BLOCK_K
+        block_k = _capped_block_k(-(-lens[0] // 128) * 128)
     lq, lk = lens
     b, _, c = q.shape
     d = c // heads
@@ -766,11 +781,59 @@ def _bwd_dkv_kernel_t(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
 
 
+def _fwd_kernel_t_capped_lse(q_ref, k_ref, v_ref, o_ref, lse_ref,
+                             m_ref, l_ref, acc_ref,
+                             *, scale, kv_len, block_k):
+    """Online-softmax transposed-layout TRAIN forward (K/V grid-blocked,
+    whole-q tile) — `_fwd_kernel_t_capped` plus the LSE row the blocked
+    backward consumes.  r5: before this, over-cap training shapes (video
+    ST-Attn 1400x2800, exp-hd 2816/5184 self-attn) fell back to the
+    split-layout kernels whose (B*H, L, 40) operands carry a 3.2x
+    lane-padding memory expansion — the 2-frame RGD step stopped fitting
+    16 GB.  The transposed layout is lane-dense (C=320 on lanes)."""
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    qt = q_ref[0].astype(jnp.float32) * scale  # (d, lq_p)
+    kt = k_ref[0].astype(jnp.float32)          # (d, block_k)
+    vt = v_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(kt, qt, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # (bk, lq_p)
+    kpos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    s = jnp.where(kpos < kv_len, s, _NEG_INF)
+    m_new = jnp.maximum(m_ref[...], jnp.max(s, axis=0, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_ref[...] - m_new)
+    l_ref[...] = alpha * l_ref[...] + jnp.sum(p, axis=0, keepdims=True)
+    acc_ref[...] = alpha * acc_ref[...] + jax.lax.dot_general(
+        vt, p, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    m_ref[...] = m_new
+
+    @pl.when(j == nk - 1)
+    def _():
+        o_ref[0] = (acc_ref[...] / l_ref[...]).astype(o_ref.dtype)
+        lse_ref[0] = m_ref[...] + jnp.log(l_ref[...])
+
+
 def _train_t_eligible(heads, lens, c):
     lq, lk = lens
     d = c // heads
     up128 = lambda x: -(-x // 128) * 128
-    return d % 8 == 0 and up128(lq) * up128(lk) <= _T_SCORE_CAP
+    if d % 8 != 0:
+        return False
+    if up128(lq) * up128(lk) <= _T_SCORE_CAP:
+        return True  # whole-tile fwd
+    # over-cap shapes (ST-Attn 1400x2800, exp-hd 2816/5184): K/V-blocked
+    # LSE forward (r5) + the already-blocked backward; bounded by the
+    # whole-q/whole-k tiles both kernels keep resident (the inference
+    # envelope, hardware-validated to 5248 at block 512)
+    return up128(lq) <= 5376 and up128(lk) <= 5376
 
 
 def _packed_train_t_fwd(q, k, v, scale, heads, lens):
@@ -782,6 +845,43 @@ def _packed_train_t_fwd(q, k, v, scale, heads, lens):
     up128 = lambda x: -(-x // 128) * 128
     lq_p, lk_p = up128(lq), up128(lk)
     qt = _pad_to(jnp.swapaxes(q, 1, 2), 2, 128)
+    if lq_p * lk_p > _T_SCORE_CAP:
+        # over-cap score tile: K/V-blocked online-softmax forward with LSE
+        block_k = _capped_block_k(lq_p)
+        kt = _pad_to(jnp.swapaxes(k, 1, 2), 2, block_k)
+        vt = _pad_to(jnp.swapaxes(v, 1, 2), 2, block_k)
+        out_t, lse = pl.pallas_call(
+            functools.partial(_fwd_kernel_t_capped_lse, scale=scale,
+                              kv_len=lk, block_k=block_k),
+            grid=(b, heads, kt.shape[2] // block_k),
+            in_specs=[
+                pl.BlockSpec((1, d, lq_p), lambda i, h, j: (i, h, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, d, block_k), lambda i, h, j: (i, h, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, d, block_k), lambda i, h, j: (i, h, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, d, lq_p), lambda i, h, j: (i, h, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, lq_p),
+                             lambda i, h, j: (i * heads + h, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, c, lq_p), q.dtype),
+                jax.ShapeDtypeStruct((b * heads, 1, lq_p), jnp.float32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((1, lq_p), jnp.float32),
+                pltpu.VMEM((1, lq_p), jnp.float32),
+                pltpu.VMEM((d, lq_p), jnp.float32),
+            ],
+            interpret=_interpret(),
+        )(qt, kt, vt)
+        out = jnp.swapaxes(out_t, 1, 2)[:, :lq]
+        return out, (qt, kt, vt, out_t, lse)
     kt = _pad_to(jnp.swapaxes(k, 1, 2), 2, 128)
     vt = _pad_to(jnp.swapaxes(v, 1, 2), 2, 128)
     out_t, lse = pl.pallas_call(
@@ -1017,7 +1117,8 @@ def _einsum_packed(q, k, v, scale, heads):
 # frame-axis (temporal) attention: sequences this short take the
 # head-PACKED path — per-head (f x f) score matmuls would run the MXU at
 # 16/128 occupancy across tens of thousands of batch rows
-_HEADPACK_MAX_LQ = 32
+# (env override for A/B: 0 disables the path)
+_HEADPACK_MAX_LQ = int(_os.environ.get("DUALDIFF_HEADPACK_MAX_LQ", "32"))
 
 
 def _einsum_headpacked(q, k, v, scale, heads):
@@ -1048,6 +1149,35 @@ def _einsum_headpacked(q, k, v, scale, heads):
     a = jax.nn.softmax(s, axis=-1).astype(v.dtype)
     o = jnp.einsum("bpq,bqd->bpd", a, vp)
     return o.reshape(b, heads, f, d).swapaxes(1, 2).reshape(b, f, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _headpacked(q, k, v, scale, heads):
+    # primal (inference): head-packed single-tile path
+    return _einsum_headpacked(q, k, v, scale, heads)
+
+
+def _headpacked_fwd(q, k, v, scale, heads):
+    # differentiated path: plain per-head einsum — the packed (heads*f)^2
+    # score tensor would be SAVED as a grad residual at 8x lane/sublane
+    # padding (f32[8400,16,16] -> 65 MB each, r5 RGD OOM) and carries 8x
+    # discarded cross-head logits.  jax.checkpoint: even per-head, the
+    # saved (b, heads, f, f) probability residuals tile at up to 64x
+    # padding (f32[8400,8,2,2] -> 65 MB each); recomputing the tiny
+    # frame-axis einsums in the backward saves only dense q/k/v.
+    out, vjp = jax.vjp(
+        jax.checkpoint(
+            lambda q_, k_, v_: _einsum_packed(q_, k_, v_, scale, heads)),
+        q, k, v)
+    return out, (vjp,)
+
+
+def _headpacked_bwd(scale, heads, carry, g):
+    (vjp,) = carry
+    return vjp(g)
+
+
+_headpacked.defvjp(_headpacked_fwd, _headpacked_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -1117,8 +1247,9 @@ def attention_packed(
     if scale is None:
         scale = 1.0 / math.sqrt(d)
     if lq == k.shape[1] and lq <= _HEADPACK_MAX_LQ:
-        # temporal (frame-axis) self-attention
-        return _einsum_headpacked(q, k, v, scale, heads)
+        # temporal (frame-axis) self-attention: head-packed inference
+        # primal, per-head einsum under differentiation (custom VJP)
+        return _headpacked(q, k, v, float(scale), heads)
     if _tracing_on_tpu() and lq >= _PACKED_MIN_LQ and d % 8 == 0:
         return _flash_packed(q, k, v, float(scale), heads,
                              (lq, k.shape[1]))

@@ -90,7 +90,9 @@ def make_rgd_reward(cfg):
     name = str(rgd.get("reward", "fgm_foreground"))
     fg_boost = float(rgd.get("fg_boost", 4.0))
     t_weight = float(rgd.get("temporal_weight", 0.5))
-    frames = int(cfg.video.num_frames)
+    # with video.rgd.reward_frames the trainer passes the reward a per-clip
+    # frame PREFIX — the temporal fold must match what the reward sees
+    frames = int(rgd.get("reward_frames") or cfg.video.num_frames)
 
     def reward(pred, gt, batch):
         if name == "fgm_foreground" and "fgm_bboxes" in batch:

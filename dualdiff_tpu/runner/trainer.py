@@ -119,7 +119,7 @@ def make_precompute_cond(models, latent_hw, image_hw):
 def make_loss_fn(models, cfg, schedule: DiffusionSchedule,
                  latent_hw: Tuple[int, int], occ_image_hw: Tuple[int, int],
                  frames: int = 1, reward_fn=None, reward_weight: float = 0.0,
-                 cached_cond: bool = False):
+                 cached_cond: bool = False, reward_frames: int = 0):
     unet, controlnets = models["unet"], models["controlnets"]
     vae, text_encoder = models["vae"], models["text_encoder"]
     n_branches = len(controlnets)
@@ -252,9 +252,29 @@ def make_loss_fn(models, cfg, schedule: DiffusionSchedule,
             # RGD: reward on the denoised prediction (arXiv 2505.01857);
             # maximize reward => subtract
             x0_pred = schedule.pred_x0_from_eps(noisy, eps, timesteps)
-            img_pred = vae_decode(x0_pred.reshape(B * N, *x0_pred.shape[2:]))
-            reward = jnp.mean(reward_fn(img_pred, px.reshape(
-                B * N, *px.shape[2:]), batch))
+            rb, rpx, rbatch = x0_pred, px, batch
+            rn = x0_pred.shape[0]
+            if reward_frames and frames > 1 and reward_frames < frames:
+                # frame-subset reward estimate (video.rgd.reward_frames):
+                # the reward's VAE decode fwd+bwd at image resolution is
+                # the dominant RGD step pool (r5 trace) — decode only the
+                # first rf frames of each clip.  Rows are frame-outer per
+                # clip, so a prefix slice keeps the frame stream the
+                # temporal term differentiates contiguous and ordered.
+                def take(t):
+                    return (t.reshape(-1, frames, *t.shape[1:])
+                            [:, :reward_frames]
+                            .reshape(-1, *t.shape[1:]))
+
+                rb, rpx = take(x0_pred), take(px)
+                rn = rb.shape[0]
+                rbatch = dict(batch)
+                for kk in ("fgm_bboxes", "fgm_masks", "fgm_lidar2image"):
+                    if kk in rbatch:
+                        rbatch[kk] = take(rbatch[kk])
+            img_pred = vae_decode(rb.reshape(rn * N, *rb.shape[2:]))
+            reward = jnp.mean(reward_fn(img_pred, rpx.reshape(
+                rn * N, *rpx.shape[2:]), rbatch))
             loss = loss - reward_weight * reward
             metrics["reward"] = reward
         metrics["loss"] = loss
@@ -265,11 +285,13 @@ def make_loss_fn(models, cfg, schedule: DiffusionSchedule,
 
 def make_train_step(models, cfg, schedule, tx, latent_hw, occ_image_hw,
                     frames: int = 1, reward_fn=None,
-                    reward_weight: float = 0.0, cached_cond: bool = False):
+                    reward_weight: float = 0.0, cached_cond: bool = False,
+                    reward_frames: int = 0):
     loss_fn = make_loss_fn(models, cfg, schedule, latent_hw, occ_image_hw,
                            frames=frames, reward_fn=reward_fn,
                            reward_weight=reward_weight,
-                           cached_cond=cached_cond)
+                           cached_cond=cached_cond,
+                           reward_frames=reward_frames)
 
     def train_step(state, frozen, batch, rng):
         rng = jax.random.fold_in(rng, state["step"])

@@ -59,6 +59,11 @@ class VideoTrainer(MultiviewTrainer):
             reward_fn=(reward_fn or make_rgd_reward(cfg)) if rgd else None,
             reward_weight=float(cfg.video.rgd.reward_weight) if rgd else 0.0,
             cached_cond=self.cache_cond,
+            # frame-subset reward estimate (r5): the reward's image-res VAE
+            # decode fwd+bwd dominates the RGD step — video.rgd.reward_frames
+            # decodes only that many leading frames per clip
+            reward_frames=int(cfg.video.rgd.get("reward_frames") or 0)
+            if rgd else 0,
         ), donate_argnums=(0,), out_shardings=(repl, repl))
 
     # clip datasets return a list of frames per item; the base trainer's

@@ -153,3 +153,13 @@ def test_pop_config_name():
         assert name == "test_config" and rest == ["+exp=224x400"], argv
     name, rest = pop_config_name(["a.b=1"])
     assert name == "config" and rest == ["a.b=1"]
+
+
+def test_rgd_stage2_is_lora_only():
+    """+exp=rgd_stage2 must freeze everything except LoRA (arXiv
+    2505.01857): the shipped overlay forgot trainable_state=lora_only
+    through r4, silently training only_new + both ControlNets with
+    8.5 GB of trainable/optimizer state (r5 OOM diagnosis)."""
+    cfg = load_config(CONFIG_DIR, overrides=["+exp=rgd_stage2"])
+    assert str(cfg.model.unet.trainable_state) == "lora_only"
+    assert int(cfg.video.lora_rank) > 0 and bool(cfg.video.rgd.enable)

@@ -376,3 +376,36 @@ def test_headpacked_temporal_attention_matches_einsum():
     for a, bb in zip(g_got, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
                                    atol=2e-4, rtol=2e-4)
+
+
+@pytest.mark.parametrize("lq,lk", [(1400, 2800), (2816, 2816)])
+def test_packed_train_capped_forward_backward(rng, lq, lk):
+    """Over-cap training shapes (video ST-Attn 1400x2800, exp-hd
+    2816x2816) route through the r5 K/V-blocked transposed TRAIN forward
+    (online softmax + LSE) and the existing blocked backward — before r5
+    they fell back to split-layout kernels whose (B*H, L, 40) operands
+    carry a 3.2x lane-padding HBM expansion (the 2-frame RGD step stopped
+    fitting 16 GB).  fwd and all three grads must match einsum."""
+    from dualdiff_tpu.ops.attention import (_einsum_packed, _flash_packed,
+                                            _train_t_eligible)
+
+    h, d = 1, 16
+    c = h * d
+    assert _train_t_eligible(h, (lq, lk), c)  # takes the transposed path
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    q = jax.random.normal(k1, (1, lq, c), jnp.float32)
+    k = jax.random.normal(k2, (1, lk, c), jnp.float32)
+    v = jax.random.normal(k3, (1, lk, c), jnp.float32)
+    ref = _einsum_packed(q, k, v, d ** -0.5, h)
+    out = _flash_packed(q, k, v, d ** -0.5, h, (lq, lk))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+    w = jax.random.normal(k4, (1, lq, c), jnp.float32)
+    gp = jax.grad(lambda *a: jnp.sum(
+        _flash_packed(*a, d ** -0.5, h, (lq, lk)) * w),
+        argnums=(0, 1, 2))(q, k, v)
+    ge = jax.grad(lambda *a: jnp.sum(
+        _einsum_packed(*a, d ** -0.5, h) * w), argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gp, ge):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-3, rtol=5e-3)

@@ -292,3 +292,19 @@ def test_video_clip_consistent_flip(clips):
         seen_flip |= any(flags)
         seen_noflip |= not all(flags)
     assert seen_flip and seen_noflip
+
+
+def test_rgd_reward_frames_subset(clips, tmp_path_factory):
+    """video.rgd.reward_frames estimates the reward on a per-clip frame
+    PREFIX (r5: the reward's image-res VAE decode fwd+bwd dominates the
+    RGD step).  Both settings must run and produce finite rewards through
+    the real trainer loop."""
+    cfg = _cfg("rgd_stage2")
+    cfg.log_root = str(tmp_path_factory.mktemp("rgd_rf_full"))
+    m_full = VideoTrainer(cfg, clips, tiny=True).run(max_steps=1)
+    assert np.isfinite(m_full["reward"])
+
+    cfg1 = _cfg("rgd_stage2", extra=["video.rgd.reward_frames=1"])
+    cfg1.log_root = str(tmp_path_factory.mktemp("rgd_rf_1"))
+    m1 = VideoTrainer(cfg1, clips, tiny=True).run(max_steps=1)
+    assert np.isfinite(m1["reward"])

@@ -84,6 +84,10 @@ def main():
         cfg = load_config("configs", overrides=[
             "+exp=rgd_stage2", f"video.num_frames={frames}",
             "runner.max_train_steps=1000", "runner.num_workers=0",
+            # the steady-state operating point: without the conditioning
+            # cache the frozen VAE encoder's activations sit under grad
+            # and the 2-frame step does not fit 16 GB (r5 OOM)
+            "runner.cache_conditioning=true",
             *overrides])
         print("# building RGD trainer (init on device)...", flush=True)
         trainer = VideoTrainer(cfg, clips, tiny=False)
