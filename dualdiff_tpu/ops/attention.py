@@ -521,18 +521,21 @@ _CAPPED_SCORE_BYTES = 11 * 2 ** 20
 
 
 def _capped_block_k(lq_p: int) -> int:
-    """K/V block for the capped kernel: the largest measured-good block
-    whose score tile fits VMEM.  r5 video sweep at ST-Attn 1400x2800:
-    1408 (two K blocks, pad 2800->2816) 24.39 s/clip vs 512 (pad->3072,
-    22 ms x 8 of zero-copies) 24.89 s — +2.0%; 256 in between.  At the
-    exp-hd query lengths (lq_p 2816/5248) a 1408 block's score tile is
-    16-30 MB, over VMEM — 512 stays the r4-measured optimum there."""
+    """K/V block for the capped kernel, measured per query length (r5):
+
+    * lq_p <= 1408 (video ST-Attn 1400x2800): 1408 — two K blocks, pad
+      2800->2816; e2e 24.39 s/clip vs 24.89 at 512, 24.60 at 256.
+    * HD lq_p (2816 / 5248): 256 — hardware microbench
+      (tools/bench_hd_attn.py): 48.9 TF/s vs 41.9 at 512 (L=2816, +17%);
+      46.7 vs 43.3 (L=5184, +8%).  Dots-only floor at those shapes is
+      69.4 / 62.7 TF/s, so the capped kernel runs at 70-75% of floor —
+      the rest is online-softmax VPU work.  768+ blocks fail to compile
+      at lq_p=5248 (score tile over VMEM)."""
     if _CAPPED_BLOCK_K:
         return _CAPPED_BLOCK_K
-    for bk in (1408, 512, 256):
-        if lq_p * bk * 4 <= _CAPPED_SCORE_BYTES:
-            return bk
-    return 128
+    if lq_p * 1408 * 4 <= _CAPPED_SCORE_BYTES:
+        return 1408
+    return 256
 
 
 def _packed_infer_capped(q, k, v, scale, heads, lens,
