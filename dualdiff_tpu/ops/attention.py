@@ -34,13 +34,15 @@ __all__ = ["mha_einsum", "flash_attention", "multi_head_attention",
 _NEG_INF = -1e30
 
 # Inference routing: queries >= this take the channel-packed transposed
-# kernel; shorter ones stay on einsum.  1024 is the r3-measured threshold
-# for the IMAGE batch sizes (24 rows); video evals run 96-192 rows where
-# the einsum path must materialize ~750 MB f32 score tensors per 350-token
-# layer, so the r5 video sweep re-measures via this env knob.
+# kernel; shorter ones stay on einsum.  r5 measured e2e: 512 routes the
+# exp-hd 704-token level through the kernel (+3.3% at 256x704, numerics
+# pin identical) while leaving every other geometry's routing unchanged;
+# pulling the 350-token level in (threshold 256) LOSES 1.1% at 224x400 —
+# einsum stays right for short queries (consistent with the r4 training
+# finding).  Env knob for sweeps.
 import os as _os
 
-_PACKED_MIN_LQ = int(_os.environ.get("DUALDIFF_PACKED_MIN_LQ", "1024"))
+_PACKED_MIN_LQ = int(_os.environ.get("DUALDIFF_PACKED_MIN_LQ", "512"))
 
 # ---------------------------------------------------------------- flops --
 # XLA's cost analysis scores Pallas custom-calls as 0 FLOPs, so step-MFU
