@@ -1103,7 +1103,7 @@ def attention_packed_neighbors(
     d = q.shape[-1] // heads
     if scale is None:
         scale = 1.0 / math.sqrt(d)
-    if _tracing_on_tpu() and lq >= 1024 and d % 8 == 0:
+    if _tracing_on_tpu() and lq >= _PACKED_MIN_LQ and d % 8 == 0:
         return _flash_packed_nbr(q, k, v, float(scale), heads, n_cam,
                                  (lq, lq))
     # CPU / short sequences: stacked einsum formulation
