@@ -34,24 +34,29 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import numpy as np
 
-# op-name -> pool classification (fusion names carry their root op;
-# pallas kernels keep their python kernel names)
-_POOLS = (
-    ("attention", re.compile(r"attn|flash|_fwd_kernel|_bwd_kernel|softmax")),
-    ("conv", re.compile(r"conv")),
-    ("matmul", re.compile(r"dot|einsum|gemm")),
-    ("norm", re.compile(r"norm|group_norm|layer_norm|reduce")),
-    ("optimizer", re.compile(r"adam|opt_state|mul_add")),
-    ("copy/layout", re.compile(r"copy|transpose|reshape|pad|slice|concat")),
-)
-
-
 def classify(name: str) -> str:
-    low = name.lower()
-    for pool, pat in _POOLS:
-        if pat.search(low):
-            return pool
-    return "other"
+    """Pool classification by the op's ROOT name (the lhs of " = ") —
+    matching anywhere in the row would misattribute operands (an attn
+    custom-call whose input is a %pad is attention, not copy)."""
+    if name.startswith("["):
+        return "wrapper/async (overlaps compute)"
+    r = (name.split(" = ")[0].lstrip("%") if " = " in name else name).lower()
+    if r.startswith(("attn", "flash")):
+        return "attention-kernels"
+    if "convolution" in r:
+        return "conv"
+    if re.search(r"= \(f32\[\d+,\d+\]\{1,0", name):
+        return "gn-stats-chains"
+    if any(k in r for k in ("copy", "transpose", "pad", "slice",
+                            "concatenate", "dynamic-update", "bitcast")):
+        return "copy/layout"
+    if re.search(r"= \(?f32\[\d+,8,\d+", name):
+        return "einsum-attn"
+    if "reduce" in r:
+        return "reduce/norm"
+    if "gather" in r:
+        return "gather"
+    return "other-fusions"
 
 
 def main():
@@ -140,14 +145,18 @@ def main():
     print(f"# traced {label}: wall {wall:.3f}s")
 
     rows = summarize_trace(trace_dir, top=100000)
-    total = sum(ms for _, ms in rows)
     pools = {}
     for name, ms in rows:
         pools[classify(name)] = pools.get(classify(name), 0.0) + ms
-    print(f"# total device op time {total:.1f} ms "
-          f"({100 * total / (wall * 1000):.0f}% of wall)")
+    wrap = "wrapper/async (overlaps compute)"
+    total = sum(ms for k, ms in pools.items() if k != wrap)
+    print(f"# non-wrapper device op time {total:.1f} ms "
+          f"({100 * total / (wall * 1000):.0f}% of wall; wrapper/async "
+          f"windows {pools.get(wrap, 0.0):.0f} ms overlap compute)")
     print("# pool breakdown:")
     for pool, ms in sorted(pools.items(), key=lambda kv: -kv[1]):
+        if pool == wrap:
+            continue
         print(f"  {ms:10.1f} ms  {100 * ms / total:5.1f}%  {pool}")
     print(f"# top {top} ops:")
     for name, ms in rows[:top]:
